@@ -1,0 +1,66 @@
+"""Spiking conv denoiser for the absorbing discrete diffusion prior.
+
+Parity target: ``DummyModel`` (``snn_model/vq_diffusion.py:150-208``):
+the (N, 7, 7) float token map plus a per-sample timestep broadcast as a
+second channel, direct-coded to T=16 steps, pushed through 5 Conv+BN+LIF
+blocks (2->64->128->256->512->256) with a U-Net-style skip cat(x5, x1) on
+the channel axis, a bare conv to ``num_embeddings`` logits, and a firing-
+rate decode (mean over T).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spiking_diffusion_tpu.config import DiffusionConfig
+from spiking_diffusion_tpu.models.layers import LIF, SeqBatchNorm, SeqConv
+from spiking_diffusion_tpu.snn.encoding import direct_encode
+from spiking_diffusion_tpu.snn.neuron import NeuronParams
+from spiking_diffusion_tpu.snn.surrogate import get_surrogate
+
+
+class SpikingDenoiser(nn.Module):
+    """(N, h, w) token map + (N,) timestep -> (N, h, w, K) logits."""
+
+    cfg: DiffusionConfig
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x_tokens: jax.Array, t: jax.Array, train: bool = True
+    ) -> jax.Array:
+        c = self.cfg
+        p = NeuronParams(
+            tau=c.lif.tau,
+            v_threshold=c.lif.v_threshold,
+            v_reset=c.lif.v_reset,
+            decay_input=c.lif.decay_input,
+            hard_reset=c.lif.hard_reset,
+            detach_reset=c.lif.detach_reset,
+            surrogate=get_surrogate(c.lif.surrogate, c.lif.surrogate_alpha),
+        )
+        x = x_tokens.astype(jnp.float32)[..., None]  # (N, h, w, 1)
+        t_map = jnp.broadcast_to(
+            t.astype(jnp.float32)[:, None, None, None], x.shape
+        )
+        x = jnp.concatenate([x, t_map], axis=-1)  # (N, h, w, 2)
+        x_seq = direct_encode(x, c.num_steps)  # (T, N, h, w, 2)
+
+        feats = []
+        h = x_seq
+        for ch in c.denoiser_channels:
+            h = SeqConv(ch, kernel_size=3, strides=1, padding=1)(h)
+            h = SeqBatchNorm(use_running_average=not train)(h)
+            h = LIF(params=p, backend=self.backend)(h)
+            feats.append(h)
+
+        # U-Net style skip: cat(last, first) on channels
+        # (``vq_diffusion.py:205``: torch.cat((x5, x1), dim=2) with dim 2 ==
+        # channel axis of (T,N,C,H,W))
+        h = jnp.concatenate([feats[-1], feats[0]], axis=-1)
+        h = SeqConv(c.num_embeddings, kernel_size=3, strides=1, padding=1)(h)
+
+        # firing-rate decode over T (``vq_diffusion.py:206``)
+        return jnp.sum(h, axis=0) / c.num_steps

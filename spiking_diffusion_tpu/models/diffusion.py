@@ -1,0 +1,154 @@
+"""Absorbing-state discrete diffusion over the VQ code grid.
+
+Parity target: ``AbsorbingDiffusion`` (``snn_model/vq_diffusion.py:43-147``):
+uniform-time masking corruption, masked-token cross-entropy training loss
+(ELBO or reweighted ELBO), and a reverse sampler that progressively unmasks
+tokens over ``num_timesteps`` steps.
+
+TPU-native design: everything is a pure function of (params, key, data);
+the reverse sampler is one ``lax.scan`` inside jit — 49 denoiser forwards
+with zero host round-trips (the reference pays a device sync per step via
+``torch.distributions.Categorical``, ``vq_diffusion.py:136-138``). Note the
+reference also calls ``functional.reset_net`` between steps — here each
+denoiser call starts with fresh membranes by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from spiking_diffusion_tpu.config import DiffusionConfig
+
+# denoise_fn: (x_tokens (N,h,w) int, t (N,) int) -> logits (N,h,w,K)
+DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def sample_time(
+    key: jax.Array, batch: int, num_timesteps: int
+) -> Tuple[jax.Array, jax.Array]:
+    """t ~ Uniform{1..T} per sample; pt = 1/T (``vq_diffusion.py:56-59``)."""
+    t = jax.random.randint(key, (batch,), 1, num_timesteps + 1)
+    pt = jnp.full((batch,), 1.0 / num_timesteps, jnp.float32)
+    return t, pt
+
+
+def q_sample(
+    key: jax.Array, x_0: jax.Array, t: jax.Array, mask_id: int, num_timesteps: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Mask each token of x_0 (N,h,w) w.p. t/T; unmasked targets -> -1.
+
+    Returns (x_t, x_0_ignore, mask) (``vq_diffusion.py:61-72``).
+    """
+    prob = (t.astype(jnp.float32) / num_timesteps)[:, None, None]
+    mask = jax.random.uniform(key, x_0.shape) < prob
+    x_t = jnp.where(mask, mask_id, x_0)
+    x_0_ignore = jnp.where(mask, x_0, -1)
+    return x_t, x_0_ignore, mask
+
+
+def _masked_cross_entropy(
+    logits: jax.Array, targets: jax.Array
+) -> jax.Array:
+    """Per-sample sum of token CE, ignoring targets == -1.
+
+    logits (N, h, w, K); targets (N, h, w) in [-1, K).
+    Parity: ``F.cross_entropy(..., ignore_index=-1, reduction='none').sum(1)``.
+    """
+    valid = targets >= 0
+    safe = jnp.maximum(targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    tok_ce = jnp.where(valid, tok_ce, 0.0)
+    return jnp.sum(tok_ce, axis=(1, 2))
+
+
+def train_loss(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    x_0: jax.Array,
+    cfg: DiffusionConfig,
+) -> jax.Array:
+    """Scalar diffusion training loss over a batch of code grids (N,h,w).
+
+    Parity: ``_train_loss`` (``vq_diffusion.py:75-101``): default
+    'reweighted_elbo' = mean over batch of (1 - t/T) * CE / (ln2 * D);
+    'elbo' = CE / t / pt / (ln2 * D).
+    """
+    kt, km = jax.random.split(key)
+    n = x_0.shape[0]
+    d = x_0.shape[1] * x_0.shape[2]
+    t, pt = sample_time(kt, n, cfg.num_timesteps)
+    x_t, x_0_ignore, _ = q_sample(km, x_0, t, cfg.mask_id, cfg.num_timesteps)
+    logits = denoise_fn(x_t, t)
+    ce = _masked_cross_entropy(logits, x_0_ignore)
+    tf = t.astype(jnp.float32)
+    if cfg.loss_type == "elbo":
+        loss = ce / tf / pt / (math.log(2) * d)
+    elif cfg.loss_type == "reweighted_elbo":
+        loss = (1.0 - tf / cfg.num_timesteps) * ce / (math.log(2) * d)
+    else:
+        raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+    return jnp.mean(loss)
+
+
+def sample(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    cfg: DiffusionConfig,
+    n_samples: int,
+    temperature: float = 1.0,
+    sample_steps: int | None = None,
+) -> jax.Array:
+    """Reverse sampler: all-mask start, unmask w.p. 1/t per step.
+
+    Returns (n_samples, h, w) int32 code grids. One ``lax.scan`` over the
+    reversed timesteps — fully on-device (``vq_diffusion.py:103-142``).
+    """
+    h = w = cfg.latent_size
+    steps = cfg.num_timesteps if sample_steps is None else sample_steps
+    x_init = jnp.full((n_samples, h, w), cfg.mask_id, jnp.int32)
+    unmasked_init = jnp.zeros((n_samples, h, w), jnp.bool_)
+
+    def body(carry, t):
+        key, x_t, unmasked = carry
+        key, k_change, k_cat = jax.random.split(key, 3)
+        tf = jnp.float32(t)
+        # where to unmask; never a position already unmasked
+        # (``vq_diffusion.py:118-124``: the xor/and dance == logical andnot)
+        changes = jax.random.uniform(k_change, x_t.shape) < (1.0 / tf)
+        changes = jnp.logical_and(changes, jnp.logical_not(unmasked))
+        unmasked = jnp.logical_or(unmasked, changes)
+
+        t_vec = jnp.full((n_samples,), t, jnp.int32)
+        logits = denoise_fn(x_t, t_vec)  # (N, h, w, K)
+        x_0_hat = jax.random.categorical(k_cat, logits / temperature, axis=-1)
+        x_t = jnp.where(changes, x_0_hat.astype(jnp.int32), x_t)
+        return (key, x_t, unmasked), None
+
+    ts = jnp.arange(steps, 0, -1, dtype=jnp.int32)
+    (_, x_final, _), _ = jax.lax.scan(body, (key, x_init, unmasked_init), ts)
+    return x_final
+
+
+def pick_mask_id(mode: str, num_embeddings: int, first_batch: jax.Array) -> int:
+    """mask_id selection (``main.py:212-223``): 'codebook_size' (default)
+    uses K itself; 'max' the most common code in the first batch. The
+    reference's 'min' mode is a known bug (assigns a *count* as the id,
+    ``main.py:217-221``) — here 'min' selects the least common code value,
+    the evident intent.
+    """
+    if mode == "codebook_size":
+        return int(num_embeddings)
+    flat = jnp.ravel(first_batch)
+    counts = jnp.bincount(flat, length=num_embeddings)
+    if mode == "max":
+        return int(jnp.argmax(counts))
+    if mode == "min":
+        # least common among codes that appear; reference intent
+        masked = jnp.where(counts > 0, counts, jnp.iinfo(jnp.int32).max)
+        return int(jnp.argmin(masked))
+    raise ValueError(f"unknown mask mode {mode!r}")

@@ -1,0 +1,188 @@
+"""Step-aware flax.linen layers over (T, N, H, W, C) sequences.
+
+TPU-native equivalent of spikingjelly ``activation_based/layer.py``: the
+reference wraps ``nn.Conv2d``/``BatchNorm2d``/``Linear`` with a ``step_mode``
+switch that time-flattens (T,N,...) -> (T*N,...) before the stateless op
+(``layer.py:164-173,459-466,900-924``). Here the flattening is
+:func:`spiking_diffusion_tpu.snn.temporal.seq_apply`, and the layout is
+channels-last NHWC (what the TPU conv units want) instead of torch NCHW.
+
+BatchNorm statistics are computed over T*N jointly — a reference behavior
+the rebuild must match (SURVEY.md L2).
+
+Initializers mirror torch defaults (kaiming_uniform(a=sqrt(5)) for kernels,
+uniform(+-1/sqrt(fan_in)) for biases, N(0,1) for embeddings) so training
+dynamics are comparable with the reference even though no weights are
+ported.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spiking_diffusion_tpu.snn.neuron import NeuronParams, lif_multi_step
+from spiking_diffusion_tpu.snn.temporal import seq_apply
+
+# torch Conv2d/Linear kernel default: kaiming_uniform(a=sqrt(5)) ==
+# uniform with bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform)
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch Conv2d/Linear bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class SeqConv(nn.Module):
+    """Conv2d over a (T, N, H, W, C) sequence, time folded into batch.
+
+    ``padding`` is torch-style symmetric int padding (explicit, so spatial
+    alignment matches the reference exactly rather than XLA-'SAME').
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        k = _pair(self.kernel_size)
+        p = _pair(self.padding)
+        in_ch = x_seq.shape[-1]
+        fan_in = in_ch * k[0] * k[1]
+        conv = nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=_pair(self.strides),
+            padding=(p, p) if isinstance(self.padding, int) else p,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )
+        return seq_apply(conv, x_seq)
+
+
+class SeqConvTranspose(nn.Module):
+    """ConvTranspose2d over (T, N, H, W, C) with torch semantics.
+
+    torch output size: (H-1)*stride - 2*padding + kernel + output_padding.
+    Implemented as ``lax.conv_transpose`` with explicit padding
+    (lo = k-1-p, hi = k-1-p+output_padding), which reproduces it exactly.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    output_padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        k = _pair(self.kernel_size)
+        p = _pair(self.padding)
+        op = _pair(self.output_padding)
+        pad = tuple(
+            (k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(2)
+        )
+        # torch ConvTranspose2d fan_in for init = out_channels * prod(kernel)
+        # (weight shape is (in, out, kH, kW); kaiming uses fan_in from dim 1)
+        fan_in = self.features * k[0] * k[1]
+        conv = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=k,
+            strides=_pair(self.strides),
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )
+        return seq_apply(conv, x_seq)
+
+
+class SeqBatchNorm(nn.Module):
+    """BatchNorm over (T, N, ...) with statistics over T*N jointly.
+
+    Parity: spikingjelly ``layer.BatchNorm2d`` in 'm' step mode
+    (``layer.py:459-466``) — flatten T into batch, then standard BN.
+    torch defaults: eps=1e-5, momentum=0.1 (== flax momentum 0.9).
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x_seq: jax.Array, use_running_average: Optional[bool] = None
+    ) -> jax.Array:
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        bn = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+        )
+        return seq_apply(bn, x_seq)
+
+
+class SeqLinear(nn.Module):
+    """Linear over the trailing axis of a (T, N, ..., F) sequence."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        fan_in = x_seq.shape[-1]
+        dense = nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )
+        # Dense acts on the last axis only; no time flattening needed, but
+        # flatten anyway so XLA sees one (T*N*..., F) x (F, G) matmul.
+        return dense(x_seq)
+
+
+class LIF(nn.Module):
+    """LIF spiking activation over a (T, N, ...) sequence.
+
+    A stateless linen wrapper over the functional neuron: the membrane is a
+    scan carry inside :func:`lif_multi_step`, created fresh per call — the
+    moral opposite of spikingjelly's ``MemoryModule``+``reset_net``.
+    """
+
+    params: NeuronParams = NeuronParams()
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        return lif_multi_step(x_seq, params=self.params, backend=self.backend)

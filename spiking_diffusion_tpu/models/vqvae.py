@@ -1,0 +1,266 @@
+"""Spiking VQ-VAE (VQ-SVAE): LIF conv encoder, spiking vector quantizer,
+LIF deconv decoder with leaky membrane readout.
+
+Parity target: ``Spiking-Diffusion-release/snn_model/vae_model.py:22-196``.
+Layout here is (T, N, H, W, C) channels-last (TPU-native); the flat code
+index ordering is (N, H, W) row-major, identical to the reference's
+``permute(0,2,3,1).reshape(-1, D)`` (``vae_model.py:44-46``), so stage-2
+consumes indices with the same semantics (``vq_diffusion.py:34``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spiking_diffusion_tpu.config import VQVAEConfig
+from spiking_diffusion_tpu.models.layers import (
+    LIF,
+    SeqBatchNorm,
+    SeqConv,
+    SeqConvTranspose,
+)
+from spiking_diffusion_tpu.snn.encoding import direct_encode
+from spiking_diffusion_tpu.snn.neuron import NeuronParams
+from spiking_diffusion_tpu.snn.surrogate import get_surrogate
+from spiking_diffusion_tpu.snn.temporal import membrane_output, psp
+
+
+def _neuron_params(cfg: VQVAEConfig) -> NeuronParams:
+    return NeuronParams(
+        tau=cfg.lif.tau,
+        v_threshold=cfg.lif.v_threshold,
+        v_reset=cfg.lif.v_reset,
+        decay_input=cfg.lif.decay_input,
+        hard_reset=cfg.lif.hard_reset,
+        detach_reset=cfg.lif.detach_reset,
+        surrogate=get_surrogate(cfg.lif.surrogate, cfg.lif.surrogate_alpha),
+    )
+
+
+class Encoder(nn.Module):
+    """3x {Conv, BN, LIF} spiking encoder: 28x28xC -> 7x7xD spike train.
+
+    Parity: ``vae_model.py:101-129`` (convs 1->32->64->D, strides 2,2,1).
+    """
+
+    cfg: VQVAEConfig
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
+        p = _neuron_params(self.cfg)
+        c1, c2 = self.cfg.enc_channels
+        for feats, k, s, pad in (
+            (c1, 3, 2, 1),
+            (c2, 3, 2, 1),
+            (self.cfg.embedding_dim, 1, 1, 0),
+        ):
+            x_seq = SeqConv(feats, kernel_size=k, strides=s, padding=pad)(x_seq)
+            x_seq = SeqBatchNorm(use_running_average=not train)(x_seq)
+            x_seq = LIF(params=p, backend=self.backend)(x_seq)
+        return x_seq
+
+
+class Decoder(nn.Module):
+    """3x deconv spiking decoder: 7x7xD spike train -> 28x28xC membrane drive.
+
+    Parity: ``vae_model.py:131-159`` (deconvs D->64->32->C; the last deconv
+    is bare — no BN/LIF — its analog output feeds the membrane readout).
+    """
+
+    cfg: VQVAEConfig
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
+        p = _neuron_params(self.cfg)
+        d1, d2 = self.cfg.dec_channels
+        for feats in (d1, d2):
+            x_seq = SeqConvTranspose(
+                feats, kernel_size=3, strides=2, padding=1, output_padding=1
+            )(x_seq)
+            x_seq = SeqBatchNorm(use_running_average=not train)(x_seq)
+            x_seq = LIF(params=p, backend=self.backend)(x_seq)
+        x_seq = SeqConvTranspose(
+            self.cfg.in_channels, kernel_size=3, strides=1, padding=1
+        )(x_seq)
+        return x_seq
+
+
+class VectorQuantizer(nn.Module):
+    """Spiking vector quantizer (SQ): hybrid time-collapse readout, L2
+    nearest-codebook lookup, straight-through estimator, and an adaptive
+    spike generator ("poisson": Conv1x1+BN+LIF) that re-expands quantized
+    embeddings into a T-step spike train.
+
+    Parity: ``vae_model.py:22-99``. The commitment losses are computed both
+    in the analog domain (loss_1) and, after re-spiking, in the PSP
+    spike-train domain (loss_2).
+    """
+
+    cfg: VQVAEConfig
+    backend: str = "auto"
+
+    def setup(self):
+        c = self.cfg
+        # torch nn.Embedding default init: N(0, 1)
+        self.embeddings = self.param(
+            "embeddings",
+            nn.initializers.normal(stddev=1.0),
+            (c.num_embeddings, c.embedding_dim),
+        )
+        # learnable readout blend, init 0.5 (``vae_model.py:31``)
+        self.alpha = self.param(
+            "alpha", nn.initializers.constant(0.5), ()
+        )
+        self.asg_conv = SeqConv(
+            c.embedding_dim, kernel_size=1, strides=1, padding=0,
+            name="poisson_conv",
+        )
+        self.asg_bn = SeqBatchNorm(name="poisson_bn")
+        self.asg_lif = LIF(params=_neuron_params(c), backend=self.backend)
+
+    def readout(self, z_seq: jax.Array) -> jax.Array:
+        """Hybrid time collapse: (1-a)*memout(z) + a*mean_t(z).
+
+        Parity: ``vae_model.py:42`` (sum/num_step == mean over T).
+        """
+        rate = jnp.sum(z_seq, axis=0) / self.cfg.num_steps
+        return (1.0 - self.alpha) * membrane_output(
+            z_seq, self.cfg.memout_decay
+        ) + self.alpha * rate
+
+    def get_code_indices(self, flat_x: jax.Array) -> jax.Array:
+        """L2-nearest codebook entry per row of (M, D).
+
+        The -2*x@e^T term is an (M, D)x(D, K) matmul — MXU work; parity
+        with ``vae_model.py:87-95`` including first-min tie-breaking.
+        """
+        e = self.embeddings
+        distances = (
+            jnp.sum(flat_x**2, axis=1, keepdims=True)
+            + jnp.sum(e**2, axis=1)
+            - 2.0 * jnp.dot(flat_x, e.T, preferred_element_type=jnp.float32)
+        )
+        return jnp.argmin(distances, axis=1)
+
+    def quantize(self, indices: jax.Array) -> jax.Array:
+        """indices (...,) -> codebook vectors (..., D)."""
+        return jnp.take(self.embeddings, indices, axis=0)
+
+    def respike(self, q_nhwc: jax.Array, train: bool) -> jax.Array:
+        """Adaptive spike generator: analog (N,H,W,D) -> (T,N,H,W,D) spikes.
+
+        Parity: the ``poisson`` block, ``vae_model.py:34-38,77-79``.
+        """
+        q_seq = direct_encode(q_nhwc, self.cfg.num_steps)
+        q_seq = self.asg_conv(q_seq)
+        q_seq = self.asg_bn(q_seq, use_running_average=not train)
+        return self.asg_lif(q_seq)
+
+    def __call__(
+        self, z_seq: jax.Array, train: bool = True
+    ) -> Tuple[jax.Array, Any]:
+        """z_seq: (T, N, H, W, D) encoder spike train.
+
+        train=True  -> (quantized_spike_train, vq_loss)
+        train=False -> (quantized_spike_train, indices (N*H*W,))
+        """
+        c = self.cfg
+        x_bar = self.readout(z_seq)  # (N, H, W, D)
+        flat = x_bar.reshape(-1, c.embedding_dim)
+        indices = self.get_code_indices(flat)
+        quantized = self.quantize(indices).reshape(x_bar.shape)
+
+        if not train:
+            spikes = self.respike(quantized, train=False)
+            return spikes, indices
+
+        # analog-domain codebook + commitment loss (``vae_model.py:62-67``)
+        sg = jax.lax.stop_gradient
+        q_latent = jnp.mean((quantized - sg(x_bar)) ** 2)
+        e_latent = jnp.mean((x_bar - sg(quantized)) ** 2)
+        loss_1 = q_latent + c.commitment_cost * e_latent
+
+        # straight-through estimator (``vae_model.py:72``)
+        quantized = x_bar + sg(quantized - x_bar)
+
+        spikes = self.respike(quantized, train=True)
+
+        # PSP spike-train-domain loss (``vae_model.py:81-83``)
+        psp_q = psp(spikes, c.psp_tau_s)
+        psp_z = psp(z_seq, c.psp_tau_s)
+        q_latent_2 = jnp.mean((psp_q - sg(psp_z)) ** 2)
+        e_latent_2 = jnp.mean((sg(psp_q) - psp_z) ** 2)
+        loss_2 = q_latent_2 + c.commitment_cost * e_latent_2
+
+        return spikes, loss_1 + loss_2
+
+
+class SNNVQVAE(nn.Module):
+    """Full VQ-SVAE: encoder -> SQ -> decoder -> tanh(membrane readout).
+
+    Parity: ``vae_model.py:161-196``. ``__call__`` takes the analog image
+    (N, H, W, C) in [-0.5, 0.5]; direct coding repeats it T times
+    (``main.py:133``).
+    """
+
+    cfg: VQVAEConfig
+    backend: str = "auto"
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, backend=self.backend)
+        self.vq_layer = VectorQuantizer(self.cfg, backend=self.backend)
+        self.decoder = Decoder(self.cfg, backend=self.backend)
+
+    def __call__(
+        self, image: jax.Array, train: bool = True, data_variance: float = 1.0
+    ) -> Dict[str, jax.Array]:
+        x_seq = direct_encode(image, self.cfg.num_steps)
+        z_seq = self.encoder(x_seq, train=train)
+
+        if not train:
+            e_seq, indices = self.vq_layer(z_seq, train=False)
+            recon = self._decode_spikes(e_seq, train=False)
+            return {"recon": recon, "indices": indices, "spikes": e_seq}
+
+        e_seq, vq_loss = self.vq_layer(z_seq, train=True)
+        recon = self._decode_spikes(e_seq, train=True)
+        real_recon_loss = jnp.mean((recon - image) ** 2)
+        return {
+            "vq_loss": vq_loss,
+            "recon_loss": real_recon_loss / data_variance,
+            "real_recon_loss": real_recon_loss,
+            "recon": recon,
+        }
+
+    def _decode_spikes(self, e_seq: jax.Array, train: bool) -> jax.Array:
+        x_seq = self.decoder(e_seq, train=train)
+        return jnp.tanh(membrane_output(x_seq, self.cfg.memout_decay))
+
+    def encode_indices(self, image: jax.Array) -> jax.Array:
+        """Analog image -> (N, h, w) code-index grid for stage-2 training.
+
+        Parity: ``vq_diffusion.py:23-36`` (eval forward, reshape(B,7,7)).
+        """
+        x_seq = direct_encode(image, self.cfg.num_steps)
+        z_seq = self.encoder(x_seq, train=False)
+        x_bar = self.vq_layer.readout(z_seq)
+        flat = x_bar.reshape(-1, self.cfg.embedding_dim)
+        indices = self.vq_layer.get_code_indices(flat)
+        n = image.shape[0]
+        return indices.reshape(n, self.cfg.latent_size, self.cfg.latent_size)
+
+    def decode_indices(self, indices: jax.Array) -> jax.Array:
+        """(N, h, w) code indices -> reconstructed images (N, H, W, C).
+
+        Parity: the sampling decode path ``main.py:388-399`` (quantize ->
+        re-spike -> decoder -> tanh(memout)).
+        """
+        q = self.vq_layer.quantize(indices)  # (N, h, w, D)
+        spikes = self.vq_layer.respike(q, train=False)
+        return self._decode_spikes(spikes, train=False)

@@ -1,0 +1,26 @@
+"""Parallelism layer: device mesh, batch sharding, replication.
+
+The reference has **no** distributed training of any kind (single CUDA
+device, SURVEY.md §2d). The TPU-native scale-out for this model family is
+batch-axis data parallelism over ICI: a 1-D ``jax.sharding.Mesh``, batch
+sharded on the 'data' axis, parameters replicated. Under ``jit`` XLA
+inserts the gradient all-reduce (psum over ICI) automatically from the
+sharding annotations — there is no hand-written collective in the training
+path (the "How to Scale Your Model" recipe).
+"""
+
+from spiking_diffusion_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,66 @@
+"""Core SNN runtime: surrogate gradients, neuron dynamics, temporal layers.
+
+TPU-native replacement for spikingjelly's ``activation_based`` runtime
+(``base.py``/``neuron.py``/``surrogate.py``/``functional.py``): everything is
+a pure function; membrane state is a ``lax.scan`` carry, not module memory.
+"""
+
+from spiking_diffusion_tpu.snn.surrogate import (
+    SurrogateFn,
+    atan,
+    erf,
+    get_surrogate,
+    heaviside,
+    leaky_k_relu,
+    piecewise_quadratic,
+    sigmoid,
+    soft_sign,
+    spike_fn,
+)
+from spiking_diffusion_tpu.snn.neuron import (
+    NeuronParams,
+    if_step,
+    lif_multi_step,
+    lif_scan,
+    lif_step,
+    if_scan,
+    plif_scan,
+)
+from spiking_diffusion_tpu.snn.temporal import (
+    membrane_output,
+    membrane_output_coef,
+    psp,
+    seq_apply,
+)
+from spiking_diffusion_tpu.snn.encoding import (
+    direct_encode,
+    latency_encode,
+    poisson_encode,
+)
+
+__all__ = [
+    "SurrogateFn",
+    "atan",
+    "erf",
+    "get_surrogate",
+    "heaviside",
+    "leaky_k_relu",
+    "piecewise_quadratic",
+    "sigmoid",
+    "soft_sign",
+    "spike_fn",
+    "NeuronParams",
+    "if_step",
+    "lif_multi_step",
+    "lif_scan",
+    "lif_step",
+    "if_scan",
+    "plif_scan",
+    "membrane_output",
+    "membrane_output_coef",
+    "psp",
+    "seq_apply",
+    "direct_encode",
+    "latency_encode",
+    "poisson_encode",
+]

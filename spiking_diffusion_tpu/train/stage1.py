@@ -1,0 +1,149 @@
+"""Stage 1: train the spiking VQ-VAE on images.
+
+Replaces the reference epoch loop (``main.py:124-199``): loss =
+vq_loss + mse(recon, image)/data_variance, AdamW, per-epoch recon grids and
+checkpoints. The whole optimizer step (forward, backward-through-time over
+the T-step scans, AdamW update, BN stat update) is one jitted function.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spiking_diffusion_tpu.data import batch_iterator
+from spiking_diffusion_tpu.train.state import TrainState, create_train_state
+
+
+def make_train_step_vqvae(
+    data_variance: float, donate: bool = True
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build a jitted VQ-VAE train step: (state, images) -> (state, metrics).
+
+    ``data_variance`` is static — it is a dataset constant (``main.py:95``).
+    """
+
+    def loss_fn(params, batch_stats, apply_fn, images):
+        out, mutated = apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            data_variance=data_variance,
+            mutable=["batch_stats"],
+        )
+        loss = out["vq_loss"] + out["recon_loss"]
+        aux = {
+            "loss": loss,
+            "vq_loss": out["vq_loss"],
+            "recon_loss": out["recon_loss"],
+            "real_recon_loss": out["real_recon_loss"],
+            "batch_stats": mutated["batch_stats"],
+        }
+        return loss, aux
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, images: jax.Array):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(
+            state.params, state.batch_stats, state.apply_fn, images
+        )
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=aux.pop("batch_stats")
+        )
+        return new_state, aux
+
+    return train_step
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def eval_step_vqvae(apply_fn, params, batch_stats, images):
+    """Eval forward: returns recon images + code indices (jitted)."""
+    out = apply_fn(
+        {"params": params, "batch_stats": batch_stats}, images, train=False
+    )
+    return out["recon"], out["indices"]
+
+
+def extract_code_indices(
+    state: TrainState, images: np.ndarray, batch_size: int = 256
+) -> np.ndarray:
+    """Run the trained VQ-VAE over a dataset, returning (N, h, w) int32
+    code grids for stage-2 training (parity: ``vq_diffusion.py:23-36``,
+    which caches per-batch (B,7,7) index tensors to host RAM).
+    """
+
+    @jax.jit
+    def encode(params, batch_stats, imgs):
+        return state.apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            imgs,
+            method="encode_indices",
+        )
+
+    chunks = []
+    n = images.shape[0]
+    for i in range(0, n - n % batch_size, batch_size):
+        batch = jnp.asarray(images[i : i + batch_size] - 0.5)
+        chunks.append(np.asarray(encode(state.params, state.batch_stats, batch)))
+    # remainder (padded to keep shapes static, then trimmed)
+    rem = n % batch_size
+    if rem:
+        tail = images[n - rem :] - 0.5
+        pad = np.concatenate(
+            [tail, np.zeros((batch_size - rem,) + tail.shape[1:], tail.dtype)]
+        )
+        out = np.asarray(encode(state.params, state.batch_stats, jnp.asarray(pad)))
+        chunks.append(out[:rem])
+    return np.concatenate(chunks, axis=0).astype(np.int32)
+
+
+def train_vqvae(
+    model,
+    images: np.ndarray,
+    data_variance: float,
+    epochs: int = 1,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-3,
+    seed: int = 42,
+    log_every: int = 20,
+    log_fn: Optional[Callable[[str], None]] = print,
+    epoch_callback: Optional[Callable[[int, TrainState], None]] = None,
+) -> TrainState:
+    """Full stage-1 training loop. Images are raw [0,1]; the -0.5 shift is
+    applied per batch (``main.py:131``)."""
+    key = jax.random.PRNGKey(seed)
+    sample = jnp.asarray(images[:batch_size] - 0.5)
+    variables = model.init(key, sample, train=True)
+    state = create_train_state(
+        model, variables, learning_rate=learning_rate, weight_decay=weight_decay
+    )
+    step_fn = make_train_step_vqvae(data_variance)
+
+    steps_per_epoch = images.shape[0] // batch_size
+    for epoch in range(epochs):
+        t0 = time.time()
+        for i, batch in enumerate(
+            batch_iterator(images, batch_size, seed=seed, epoch=epoch)
+        ):
+            state, metrics = step_fn(state, jnp.asarray(batch - 0.5))
+            if log_fn and ((i + 1) % log_every == 0 or i + 1 == steps_per_epoch):
+                m = jax.device_get(metrics)
+                log_fn(
+                    f"[{epoch}/{epochs}][{i}/{steps_per_epoch}]: "
+                    f"loss {m['loss']:.3f} loss_eq {m['vq_loss']:.3f} "
+                    f"loss_rec {m['real_recon_loss']:.3f}"
+                )
+        if log_fn:
+            log_fn(
+                f"epoch {epoch} done in {time.time() - t0:.1f}s "
+                f"({steps_per_epoch / max(time.time() - t0, 1e-9):.1f} it/s)"
+            )
+        if epoch_callback:
+            epoch_callback(epoch, state)
+    return state

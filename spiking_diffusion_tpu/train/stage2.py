@@ -1,0 +1,132 @@
+"""Stage 2: train the absorbing-diffusion prior over VQ code grids.
+
+Replaces the reference loop (``main.py:241-286``): AdamW over the denoiser,
+loss from :func:`spiking_diffusion_tpu.models.diffusion.train_loss`,
+periodic sample grids. One jitted step; RNG is an explicit threaded key
+(the reference relies on the global torch seed).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spiking_diffusion_tpu.config import DiffusionConfig
+from spiking_diffusion_tpu.models import diffusion
+from spiking_diffusion_tpu.train.state import TrainState, create_train_state
+
+
+def make_train_step_diffusion(
+    cfg: DiffusionConfig, donate: bool = True
+) -> Callable[
+    [TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]
+]:
+    """Jitted diffusion train step: (state, indices (N,h,w) int32, key)."""
+
+    def loss_fn(params, batch_stats, apply_fn, x0, key):
+        mutated = {}
+
+        def denoise(x_t, t):
+            nonlocal mutated
+            logits, mut = apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                x_t,
+                t,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            mutated = mut
+            return logits
+
+        loss = diffusion.train_loss(key, denoise, x0, cfg)
+        return loss, mutated["batch_stats"]
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, x0: jax.Array, key: jax.Array):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.apply_fn, x0, key
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def train_diffusion(
+    denoiser,
+    cfg: DiffusionConfig,
+    indices: np.ndarray,
+    epochs: int = 1,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-3,
+    seed: int = 42,
+    log_every: int = 20,
+    log_fn: Optional[Callable[[str], None]] = print,
+    epoch_callback: Optional[Callable[[int, TrainState], None]] = None,
+) -> TrainState:
+    """Full stage-2 loop over pre-extracted (N, h, w) code grids."""
+    key = jax.random.PRNGKey(seed)
+    init_key, key = jax.random.split(key)
+    sample = jnp.asarray(indices[:batch_size])
+    t0 = jnp.ones((batch_size,), jnp.int32)
+    variables = denoiser.init(init_key, sample, t0, train=True)
+    state = create_train_state(
+        denoiser, variables, learning_rate=learning_rate, weight_decay=weight_decay
+    )
+    step_fn = make_train_step_diffusion(cfg)
+
+    n = indices.shape[0]
+    steps_per_epoch = n // batch_size
+    for epoch in range(epochs):
+        t_start = time.time()
+        order = np.arange(n)
+        np.random.RandomState(seed * 7919 + epoch).shuffle(order)
+        for i in range(steps_per_epoch):
+            batch = jnp.asarray(indices[order[i * batch_size : (i + 1) * batch_size]])
+            key, k = jax.random.split(key)
+            state, metrics = step_fn(state, batch, k)
+            if log_fn and ((i + 1) % log_every == 0 or i + 1 == steps_per_epoch):
+                m = jax.device_get(metrics)
+                log_fn(
+                    f"[{epoch}/{epochs}][{i}/{steps_per_epoch}]: "
+                    f"loss {m['loss']:.3f}"
+                )
+        if log_fn:
+            dt = time.time() - t_start
+            log_fn(f"diff epoch {epoch} done in {dt:.1f}s")
+        if epoch_callback:
+            epoch_callback(epoch, state)
+    return state
+
+
+def sample_codes(
+    state: TrainState,
+    cfg: DiffusionConfig,
+    key: jax.Array,
+    n_samples: int = 16,
+    temperature: float = 1.0,
+    sample_steps: Optional[int] = None,
+) -> jax.Array:
+    """Generate (N, h, w) code grids from a trained denoiser state."""
+
+    def denoise(x_t, t):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x_t,
+            t,
+            train=False,
+        )
+
+    fn = jax.jit(
+        lambda k: diffusion.sample(
+            k, denoise, cfg, n_samples=n_samples,
+            temperature=temperature, sample_steps=sample_steps,
+        )
+    )
+    return fn(key)

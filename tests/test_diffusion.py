@@ -1,0 +1,174 @@
+"""Absorbing-diffusion corruption, loss, and sampler tests.
+
+Parity targets: ``snn_model/vq_diffusion.py:43-147`` — q_sample masking
+statistics, ignore-index CE, reweighted ELBO, reverse unmask schedule.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spiking_diffusion_tpu.config import DiffusionConfig
+from spiking_diffusion_tpu.models import diffusion
+
+CFG = DiffusionConfig(num_timesteps=49, latent_size=7, num_embeddings=16,
+                      mask_id=16)
+
+
+def test_sample_time_range():
+    t, pt = diffusion.sample_time(jax.random.PRNGKey(0), 1000, 49)
+    t = np.asarray(t)
+    assert t.min() >= 1 and t.max() <= 49
+    np.testing.assert_allclose(np.asarray(pt), 1.0 / 49)
+
+
+def test_q_sample_masking_statistics():
+    key = jax.random.PRNGKey(1)
+    n = 400
+    x0 = jnp.zeros((n, 7, 7), jnp.int32)
+    t = jnp.full((n,), 25, jnp.int32)
+    x_t, x_0_ignore, mask = diffusion.q_sample(key, x0, t, CFG.mask_id, 49)
+    frac = float(jnp.mean(mask.astype(jnp.float32)))
+    assert abs(frac - 25 / 49) < 0.02
+    # masked positions become mask_id; unmasked targets become -1
+    np.testing.assert_array_equal(
+        np.asarray(x_t)[np.asarray(mask)], CFG.mask_id
+    )
+    np.testing.assert_array_equal(
+        np.asarray(x_0_ignore)[~np.asarray(mask)], -1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(x_0_ignore)[np.asarray(mask)], 0
+    )
+
+
+def test_q_sample_t_extremes():
+    key = jax.random.PRNGKey(2)
+    x0 = jnp.ones((64, 7, 7), jnp.int32)
+    t_hi = jnp.full((64,), 49, jnp.int32)
+    _, _, mask = diffusion.q_sample(key, x0, t_hi, CFG.mask_id, 49)
+    assert float(mask.mean()) == 1.0  # t=T masks everything (rand < 1.0... )
+
+
+def test_masked_cross_entropy_matches_manual():
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 3, 3, 5).astype(np.float32))
+    targets = jnp.asarray(
+        rng.randint(-1, 5, size=(2, 3, 3)).astype(np.int32)
+    )
+    ce = np.asarray(diffusion._masked_cross_entropy(logits, targets))
+    # manual
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    tg = np.asarray(targets)
+    expected = np.zeros(2)
+    for b in range(2):
+        for i in range(3):
+            for j in range(3):
+                if tg[b, i, j] >= 0:
+                    expected[b] -= lp[b, i, j, tg[b, i, j]]
+    np.testing.assert_allclose(ce, expected, rtol=1e-5)
+
+
+def _perfect_denoiser(x0):
+    """Denoiser that returns near-one-hot logits of the true tokens."""
+
+    def fn(x_t, t):
+        onehot = jax.nn.one_hot(x0, CFG.num_embeddings)
+        return onehot * 100.0 - 50.0
+
+    return fn
+
+
+def test_train_loss_perfect_denoiser_is_small():
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.randint(
+        jax.random.PRNGKey(4), (8, 7, 7), 0, CFG.num_embeddings
+    )
+    loss = diffusion.train_loss(key, _perfect_denoiser(x0), x0, CFG)
+    assert float(loss) < 1e-3
+
+
+def test_train_loss_uniform_denoiser_value():
+    # uniform logits -> CE per masked token = log K; loss = mean over batch
+    # of (1 - t/T) * (n_masked * log K) / (ln2 * D)
+    key = jax.random.PRNGKey(5)
+    x0 = jnp.zeros((512, 7, 7), jnp.int32)
+
+    def uniform_denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    loss = float(diffusion.train_loss(key, uniform_denoiser, x0, CFG))
+    # expectation over t~U{1..T}, mask~Bern(t/T):
+    # E[(1-t/T) * 49*(t/T) * logK] / (ln2*49)
+    ts = np.arange(1, 50) / 49
+    expected = np.mean((1 - ts) * ts * 49 * math.log(16)) / (math.log(2) * 49)
+    assert abs(loss - expected) / expected < 0.05
+
+
+def test_elbo_loss_variant():
+    cfg = DiffusionConfig(num_timesteps=49, latent_size=7,
+                          num_embeddings=16, mask_id=16, loss_type="elbo")
+    key = jax.random.PRNGKey(6)
+    x0 = jnp.zeros((16, 7, 7), jnp.int32)
+
+    def uniform_denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (16,), jnp.float32)
+
+    loss = float(diffusion.train_loss(key, uniform_denoiser, x0, cfg))
+    assert loss > 0
+
+
+def test_sampler_unmasks_everything():
+    key = jax.random.PRNGKey(7)
+
+    def denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    out = diffusion.sample(key, denoiser, CFG, n_samples=4, temperature=1.0)
+    out = np.asarray(out)
+    assert out.shape == (4, 7, 7)
+    # after the full reverse pass, no mask tokens remain
+    assert (out == CFG.mask_id).sum() == 0
+    assert out.min() >= 0 and out.max() < CFG.num_embeddings
+
+
+def test_sampler_respects_denoiser_distribution():
+    key = jax.random.PRNGKey(8)
+    target = 7
+
+    def denoiser(x_t, t):
+        onehot = jax.nn.one_hot(
+            jnp.full(x_t.shape, target), CFG.num_embeddings
+        )
+        return onehot * 100.0 - 50.0
+
+    out = np.asarray(
+        diffusion.sample(key, denoiser, CFG, n_samples=2, temperature=0.5)
+    )
+    np.testing.assert_array_equal(out, target)
+
+
+def test_sampler_jits_and_is_deterministic_per_key():
+    def denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    f = jax.jit(
+        lambda k: diffusion.sample(k, denoiser, CFG, n_samples=2)
+    )
+    a = np.asarray(f(jax.random.PRNGKey(9)))
+    b = np.asarray(f(jax.random.PRNGKey(9)))
+    c = np.asarray(f(jax.random.PRNGKey(10)))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_pick_mask_id():
+    batch = jnp.asarray(np.array([[0, 1, 1], [2, 1, 0]], np.int32))
+    assert diffusion.pick_mask_id("codebook_size", 16, batch) == 16
+    assert diffusion.pick_mask_id("max", 16, batch) == 1
+    assert diffusion.pick_mask_id("min", 16, batch) == 2
+    with pytest.raises(ValueError):
+        diffusion.pick_mask_id("bogus", 16, batch)
