@@ -1,0 +1,422 @@
+"""Command-line driver — the reference ``main.py`` rebuilt.
+
+Flag surface parity (``main.py:46-59``): --checkpoint, --dataset_name,
+--seed, --model, --data_path, --epochs, --metric, --ready, --mask,
+--codebook_size; artifact layout parity: result/<dataset>/<model>/ with
+per-epoch recon grids and checkpoints, diff_result/ for the prior,
+sample/<dataset>/<model>/<temp>/ grids, then MSE/SSIM + IS/KID/FID.
+
+Differences by design:
+  * checkpoints are orbax directories with optimizer state (not .pth);
+  * sampling and metric batches run jitted on-device; the 12-temperature
+    sweep reuses one compiled sampler;
+  * IS/FID/KID use a LeNet feature space by default — this environment
+    cannot download pretrained InceptionV3 weights (documented in
+    metrics/features.py); numbers are self-consistent across models but
+    not directly comparable to the paper's Inception-based table.
+
+Usage:
+    python -m spiking_diffusion_tpu.cli --dataset_name MNIST \
+        --model snn-vq-vae --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spiking_diffusion_tpu.config import (
+    DiffusionConfig,
+    SNNVAEConfig,
+    VQVAEConfig,
+)
+from spiking_diffusion_tpu.data import batch_iterator, data_variance, load_dataset
+from spiking_diffusion_tpu.metrics import (
+    inception_score_from_probs,
+    kid_from_features,
+    ssim,
+)
+from spiking_diffusion_tpu.metrics.features import lenet_feature_fn, train_lenet
+from spiking_diffusion_tpu.metrics.mode_coverage import mode_coverage_kl
+from spiking_diffusion_tpu.metrics.scores import fid_from_features
+from spiking_diffusion_tpu.models import (
+    ANNVQVAE,
+    SNNVAE,
+    SNNVQVAE,
+    SpikingDenoiser,
+    diffusion,
+)
+from spiking_diffusion_tpu.train import (
+    create_train_state,
+    extract_code_indices,
+    train_vqvae,
+)
+from spiking_diffusion_tpu.train.checkpoint import (
+    checkpoint_exists,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from spiking_diffusion_tpu.train.stage2 import sample_codes, train_diffusion
+from spiking_diffusion_tpu.utils import save_image_grid, save_recon_grid
+
+TEMPERATURES = [0.001, 0.01, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=None,
+                   help="result dir of a trained run to evaluate")
+    p.add_argument("--dataset_name", default="MNIST",
+                   choices=["MNIST", "KMNIST", "FMNIST", "Letters"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model", default="snn-vq-vae",
+                   choices=["snn-vq-vae", "snn-vae", "vq-vae"])
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--metric", default=None,
+                   choices=[None, "IS", "KID", "FID", "MODE"])
+    p.add_argument("--ready", default=None,
+                   help="stage-1 checkpoint dir: skip stage-1 training")
+    p.add_argument("--mask", default="codebook_size",
+                   choices=["codebook_size", "max", "min"])
+    p.add_argument("--codebook_size", type=int, default=128)
+    # extensions over the reference surface
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_steps", type=int, default=16, help="SNN T")
+    p.add_argument("--lif_backend", default="auto",
+                   choices=["auto", "scan", "pallas"])
+    p.add_argument("--sample_batches", type=int, default=80,
+                   help="16-image batches per temperature for metrics")
+    p.add_argument("--grid_batches", type=int, default=4,
+                   help="sample grids saved per temperature")
+    p.add_argument("--result_dir", default="./result")
+    p.add_argument("--sample_dir", default="./sample")
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+    root_key = jax.random.PRNGKey(args.seed)
+
+    save_path = os.path.join(args.result_dir, args.dataset_name, args.model)
+    os.makedirs(save_path, exist_ok=True)
+    sample_path = os.path.join(args.sample_dir, args.dataset_name, args.model)
+    os.makedirs(sample_path, exist_ok=True)
+
+    ds = load_dataset(args.dataset_name, args.data_path)
+    print(f"load data: {args.dataset_name}! "
+          f"(synthetic={ds.synthetic}, train={ds.train_images.shape})")
+    variance = data_variance(ds.train_images)
+
+    vq_cfg = VQVAEConfig(
+        num_steps=args.num_steps,
+        num_embeddings=args.codebook_size,
+    )
+    if args.model == "snn-vq-vae":
+        model = SNNVQVAE(vq_cfg, backend=args.lif_backend)
+    elif args.model == "vq-vae":
+        model = ANNVQVAE(vq_cfg)
+    else:
+        model = SNNVAE(
+            SNNVAEConfig(num_steps=args.num_steps),
+            vq_cfg=vq_cfg,
+            backend=args.lif_backend,
+        )
+    print("The model is ready!")
+
+    if args.model == "snn-vae":
+        _run_snn_vae(args, model, ds, save_path, sample_path, root_key)
+        return
+
+    # ---- stage 1: VQ-VAE ------------------------------------------------
+    state = _init_state(args, model, ds, root_key)
+    if args.checkpoint:
+        state = restore_checkpoint(state, args.checkpoint, "model")
+        print(f"loaded stage-1 checkpoint from {args.checkpoint}")
+    elif args.ready:
+        state = restore_checkpoint(state, args.ready, "model")
+        print(f"loaded ready stage-1 checkpoint from {args.ready}")
+    else:
+        def epoch_cb(epoch, st):
+            imgs = ds.test_images[:32] - 0.5
+            recon, _ = _eval_model(model, st, imgs)
+            save_recon_grid(
+                imgs, recon,
+                os.path.join(save_path, f"epoch={epoch}_test.png"),
+            )
+            save_checkpoint(st, save_path, "model")
+
+        state = train_vqvae(
+            model, ds.train_images, variance,
+            epochs=args.epochs, batch_size=args.batch_size,
+            seed=args.seed, epoch_callback=epoch_cb,
+        )
+
+    # ---- stage 2: diffusion prior ---------------------------------------
+    print("prepare data for train diffusion...")
+    indices = extract_code_indices(state, ds.train_images)
+    mask_id = diffusion.pick_mask_id(
+        args.mask, args.codebook_size, jnp.asarray(indices[: args.batch_size])
+    )
+    print("mask_id = ", mask_id)
+    d_cfg = DiffusionConfig(
+        num_embeddings=args.codebook_size,
+        mask_id=mask_id,
+        num_steps=args.num_steps,
+    )
+    denoiser = SpikingDenoiser(d_cfg, backend=args.lif_backend)
+    diff_path = os.path.join(save_path, "diff_result")
+    os.makedirs(diff_path, exist_ok=True)
+
+    dstate = _init_diff_state(args, denoiser, indices, root_key)
+    if args.checkpoint:
+        dstate = restore_checkpoint(
+            dstate, os.path.join(args.checkpoint, "diff_result"), "diff_model"
+        )
+        print("loaded diffusion checkpoint")
+    else:
+        def diff_cb(epoch, st):
+            if epoch % 10 == 0:
+                codes = sample_codes(
+                    st, d_cfg, jax.random.PRNGKey(epoch), n_samples=32,
+                    temperature=0.65,
+                )
+                imgs = _decode_codes(model, state, codes)
+                save_image_grid(
+                    imgs, os.path.join(diff_path, f"epoch={epoch}_test.png")
+                )
+                save_checkpoint(st, diff_path, "diff_model")
+
+        dstate = train_diffusion(
+            denoiser, d_cfg, indices,
+            epochs=args.epochs * 2, batch_size=args.batch_size,
+            seed=args.seed, epoch_callback=diff_cb,
+        )
+        save_checkpoint(dstate, diff_path, "diff_model")
+
+    # ---- evaluation ------------------------------------------------------
+    _eval_recon(args, model, state, ds)
+    _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path)
+
+
+def _init_state(args, model, ds, key):
+    sample = jnp.asarray(ds.train_images[: args.batch_size] - 0.5)
+    variables = model.init(key, sample, train=True)
+    return create_train_state(model, variables)
+
+
+def _init_diff_state(args, denoiser, indices, key):
+    x0 = jnp.asarray(indices[: args.batch_size])
+    t0 = jnp.ones((x0.shape[0],), jnp.int32)
+    variables = denoiser.init(key, x0, t0, train=True)
+    return create_train_state(denoiser, variables)
+
+
+def _eval_model(model, state, images_np):
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    out = fwd(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(images_np),
+    )
+    return np.asarray(out["recon"]), out
+
+
+def _decode_codes(model, state, codes):
+    dec = jax.jit(lambda v, i: model.apply(v, i, method="decode_indices"))
+    return np.asarray(
+        dec({"params": state.params, "batch_stats": state.batch_stats}, codes)
+    )
+
+
+def _eval_recon(args, model, state, ds):
+    mses, ssims = [], []
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for batch in batch_iterator(
+        ds.test_images, args.batch_size, shuffle=False
+    ):
+        x = jnp.asarray(batch - 0.5)
+        out = fwd(variables, x)
+        mses.append(float(jnp.mean((out["recon"] - x) ** 2)))
+        ssims.append(1.0 - float(ssim(out["recon"], x)))
+    print("loss_ssim = ", round(float(np.mean(ssims)), 3))
+    print("loss_mse = ", round(float(np.mean(mses)), 3))
+
+
+def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
+    """Temperature sweep: grids + metric batches (``main.py:377-529``)."""
+    if args.metric == "MODE" or args.metric is None:
+        pass  # mode coverage computed below alongside
+
+    # train the metric feature extractor on the real data
+    print("training LeNet feature extractor for metrics...")
+    lenet, lenet_params = train_lenet(
+        ds.train_images, ds.train_labels, ds.num_classes, epochs=3
+    )
+    feature_fn = lenet_feature_fn(lenet, lenet_params)
+
+    real = ds.test_images[: 1280]
+    real_feats, _ = feature_fn(real)
+
+    @jax.jit
+    def gen_batch(key, temp):
+        def denoise(x_t, t):
+            return dstate.apply_fn(
+                {"params": dstate.params, "batch_stats": dstate.batch_stats},
+                x_t, t, train=False,
+            )
+
+        codes = diffusion.sample(
+            key, denoise, d_cfg, n_samples=16, temperature=temp
+        )
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            codes, method="decode_indices",
+        )
+
+    results = {}
+    key = jax.random.PRNGKey(args.seed + 1)
+    for temp in TEMPERATURES:
+        t0 = time.time()
+        batches = []
+        for i in range(args.sample_batches):
+            key, k = jax.random.split(key)
+            batches.append(np.asarray(gen_batch(k, temp)))
+        gen = np.concatenate(batches, axis=0)  # (N, 28, 28, 1) in [-.5,.5]
+        for g in range(min(args.grid_batches, len(batches) // 2)):
+            grid = np.concatenate(batches[2 * g : 2 * g + 2], axis=0)
+            tdir = os.path.join(sample_path, str(temp))
+            save_image_grid(
+                grid, os.path.join(tdir, f"image_{temp}_{g}.png")
+            )
+        gen01 = np.clip(gen + 0.5, 0, 1)
+        feats, probs = feature_fn(gen01)
+        entry = {"images_per_sec": round(len(gen) / (time.time() - t0), 1)}
+        if args.metric in (None, "IS"):
+            is_mean, is_std = inception_score_from_probs(probs, splits=4)
+            entry["IS"] = round(is_mean, 4)
+        if args.metric in (None, "FID"):
+            entry["FID"] = round(fid_from_features(feats, real_feats), 4)
+        if args.metric in (None, "KID"):
+            kid_mean, _ = kid_from_features(
+                real_feats, feats, subsets=10, subset_size=min(500, len(gen))
+            )
+            entry["KID"] = round(kid_mean, 6)
+        if args.metric in (None, "MODE"):
+            mc = mode_coverage_kl(feature_fn, gen01, ds.num_classes)
+            entry["mode_KL"] = round(mc["kl"], 4)
+            entry["covered_modes"] = mc["covered_modes"]
+        results[temp] = entry
+        print(f"temp={temp}: {entry}")
+
+    with open(os.path.join(sample_path, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print("metrics written to", os.path.join(sample_path, "metrics.json"))
+
+
+def _run_snn_vae(args, model, ds, save_path, sample_path, root_key):
+    """SNN-VAE train/eval path (``main.py:103-105,128-135,345-375``)."""
+    import optax
+
+    from spiking_diffusion_tpu.train.state import TrainState, make_adamw
+
+    sample = jnp.asarray(ds.train_images[: args.batch_size] - 0.5)
+    key, init_key, fwd_key = jax.random.split(root_key, 3)
+    variables = model.init(init_key, sample, fwd_key, train=True)
+    tx = make_adamw()
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+    @jax.jit
+    def train_step(state, batch, key, p_sched):
+        def loss_fn(params, bs):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": bs}, batch, key,
+                train=True, p_scheduled=p_sched, mutable=["batch_stats"],
+            )
+            return out["mmd_loss"] + out["recon_loss"], (out, mut)
+
+        (loss, (out, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats)
+        new_state = state.apply_gradients(
+            grads, new_batch_stats=mut["batch_stats"]
+        )
+        metrics = {
+            "loss": loss,
+            "mmd": out["mmd_loss"],
+            "rec": out["recon_loss"],
+        }
+        return new_state, metrics
+
+    if args.checkpoint:
+        state = restore_checkpoint(state, args.checkpoint, "model")
+    else:
+        n = ds.train_images.shape[0]
+        spe = n // args.batch_size
+        for epoch in range(args.epochs):
+            # p annealed 0.1 -> 0.3 (``vae_model.py:292-295``)
+            p_sched = 0.1 + (0.3 - 0.1) * epoch / max(args.epochs, 1)
+            for i, batch in enumerate(
+                batch_iterator(ds.train_images, args.batch_size,
+                               seed=args.seed, epoch=epoch)
+            ):
+                key, k = jax.random.split(key)
+                state, m = train_step(
+                    state, jnp.asarray(batch - 0.5), k, p_sched
+                )
+                if (i + 1) % 20 == 0 or i + 1 == spe:
+                    print(f"[{epoch}/{args.epochs}][{i}/{spe}]: "
+                          f"loss {float(m['loss']):.3f} "
+                          f"loss_eq {float(m['mmd']):.3f} "
+                          f"loss_rec {float(m['rec']):.3f}")
+            save_checkpoint(state, save_path, "model")
+
+    # sampling + IS/KID via LeNet features (``main.py:345-375,445+``)
+    @jax.jit
+    def sample_fn(key):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            key, args.batch_size, method="sample",
+        )
+
+    key, k = jax.random.split(key)
+    x, _ = sample_fn(k)
+    save_image_grid(np.asarray(x), os.path.join(sample_path, "image.png"))
+
+    all_images = []
+    for i in range(40):
+        key, k = jax.random.split(key)
+        x, _ = sample_fn(k)
+        all_images.append(np.asarray(x))
+    gen = np.clip(np.concatenate(all_images) + 0.5, 0, 1)
+
+    lenet, lenet_params = train_lenet(
+        ds.train_images, ds.train_labels, ds.num_classes, epochs=3
+    )
+    feature_fn = lenet_feature_fn(lenet, lenet_params)
+    feats, probs = feature_fn(gen)
+    real_feats, _ = feature_fn(ds.test_images[:1280])
+    is_mean, _ = inception_score_from_probs(probs, splits=4)
+    kid_mean, _ = kid_from_features(real_feats, feats, subsets=10,
+                                    subset_size=min(500, len(gen)))
+    fid = fid_from_features(feats, real_feats)
+    print(f"IS = {is_mean:.4f}  KID = {kid_mean:.6f}  FID = {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from spiking_diffusion_tpu.models.vqvae import (
 )
 from spiking_diffusion_tpu.models.denoiser import SpikingDenoiser
 from spiking_diffusion_tpu.models.ann_vqvae import ANNVQVAE
+from spiking_diffusion_tpu.models.snn_vae import SNNVAE
 from spiking_diffusion_tpu.models import diffusion
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "VectorQuantizer",
     "SpikingDenoiser",
     "ANNVQVAE",
+    "SNNVAE",
 ]

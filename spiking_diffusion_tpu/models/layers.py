@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from spiking_diffusion_tpu.snn.neuron import NeuronParams, lif_multi_step
 from spiking_diffusion_tpu.snn.temporal import seq_apply
+from spiking_diffusion_tpu.profiling import syops as _syops
 
 # torch Conv2d/Linear kernel default: kaiming_uniform(a=sqrt(5)) ==
 # uniform with bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform)
@@ -78,7 +79,15 @@ class SeqConv(nn.Module):
             bias_init=torch_bias_init(fan_in),
             dtype=self.dtype,
         )
-        return seq_apply(conv, x_seq)
+        y_seq = seq_apply(conv, x_seq)
+        # syops accounting: k*k*Cin*Cout per output element (+ bias), split
+        # into ACs/MACs by input spike-ness; DCE'd unless 'syops' is
+        # requested (see profiling.syops)
+        ops = float(y_seq.size) * k[0] * k[1] * in_ch + (
+            float(y_seq.size) if self.use_bias else 0.0
+        )
+        self.sow("syops", "counters", _syops.classify(ops, x_seq))
+        return y_seq
 
 
 class SeqConvTranspose(nn.Module):
@@ -118,7 +127,13 @@ class SeqConvTranspose(nn.Module):
             bias_init=torch_bias_init(fan_in),
             dtype=self.dtype,
         )
-        return seq_apply(conv, x_seq)
+        y_seq = seq_apply(conv, x_seq)
+        in_ch = x_seq.shape[-1]
+        ops = float(y_seq.size) * k[0] * k[1] * in_ch + (
+            float(y_seq.size) if self.use_bias else 0.0
+        )
+        self.sow("syops", "counters", _syops.classify(ops, x_seq))
+        return y_seq
 
 
 class SeqBatchNorm(nn.Module):
@@ -147,7 +162,12 @@ class SeqBatchNorm(nn.Module):
             epsilon=self.epsilon,
             dtype=self.dtype,
         )
-        return seq_apply(bn, x_seq)
+        y_seq = seq_apply(bn, x_seq)
+        # affine BN: 2 ops per element (``syops/ops.py:105-118``)
+        self.sow(
+            "syops", "counters", _syops.classify(2.0 * x_seq.size, x_seq)
+        )
+        return y_seq
 
 
 class SeqLinear(nn.Module):
@@ -167,9 +187,14 @@ class SeqLinear(nn.Module):
             bias_init=torch_bias_init(fan_in),
             dtype=self.dtype,
         )
-        # Dense acts on the last axis only; no time flattening needed, but
-        # flatten anyway so XLA sees one (T*N*..., F) x (F, G) matmul.
-        return dense(x_seq)
+        y_seq = dense(x_seq)
+        # linear: prod(in.shape) * out_features (+ out_features if bias),
+        # matching ``syops/ops.py:77-90``
+        ops = float(x_seq.size) * self.features + (
+            float(self.features) if self.use_bias else 0.0
+        )
+        self.sow("syops", "counters", _syops.classify(ops, x_seq))
+        return y_seq
 
 
 class LIF(nn.Module):
@@ -185,4 +210,6 @@ class LIF(nn.Module):
 
     @nn.compact
     def __call__(self, x_seq: jax.Array) -> jax.Array:
-        return lif_multi_step(x_seq, params=self.params, backend=self.backend)
+        s_seq = lif_multi_step(x_seq, params=self.params, backend=self.backend)
+        self.sow("syops", "counters", _syops.neuron_entry(x_seq, s_seq))
+        return s_seq

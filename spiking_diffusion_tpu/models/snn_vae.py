@@ -1,0 +1,327 @@
+"""SNN-VAE baseline (FSVAE-style): autoregressive Bernoulli latents over T
+steps with a spiking prior/posterior, trained with a PSP-space MMD loss.
+
+Parity target: ``SNN_VAE`` / ``PriorBernoulliSTBP`` / ``PosteriorBernoulliSTBP``
+(``snn_model/vae_model.py:198-545``): conv encoder -> Linear+LIF to a
+56-dim latent -> posterior q(z_t | x_<=t, z_<t) samples binary z_t (one of
+k=20 Bernoulli channels picked at random) -> prior p(z_t | z_<t) with
+scheduled sampling (prob p annealed 0.1 -> 0.3) -> Linear+LIF decode to a
+(T,7,7,16) spike tensor -> deconv decoder -> tanh(membrane readout).
+
+TPU-native redesign: the reference materializes the autoregressive
+dependency by re-running its 3-layer MLP on every prefix (O(T^2) forwards,
+``vae_model.py:486-512``) *without* resetting membranes between prefix
+calls — a state-carryover artifact of the mutable-module design. Here the
+posterior/prior MLPs are causal (Linear+LIF) so the whole autoregression
+is ONE ``lax.scan`` over T carrying the per-layer membranes and z_{t-1}:
+mathematically the intended q(z_t | x_<=t, z_<t) factorization, at O(T)
+cost, with no cross-call state pollution.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spiking_diffusion_tpu.config import SNNVAEConfig, VQVAEConfig
+from spiking_diffusion_tpu.models.layers import (
+    torch_bias_init,
+    torch_kernel_init,
+)
+from spiking_diffusion_tpu.models.vqvae import Decoder, Encoder
+from spiking_diffusion_tpu.snn.encoding import direct_encode
+from spiking_diffusion_tpu.snn.neuron import NeuronParams, lif_step
+from spiking_diffusion_tpu.snn.surrogate import get_surrogate
+from spiking_diffusion_tpu.snn.temporal import membrane_output, psp
+
+
+def _neuron_params(cfg: SNNVAEConfig) -> NeuronParams:
+    return NeuronParams(
+        tau=cfg.lif.tau,
+        v_threshold=cfg.lif.v_threshold,
+        v_reset=cfg.lif.v_reset,
+        decay_input=cfg.lif.decay_input,
+        hard_reset=cfg.lif.hard_reset,
+        detach_reset=cfg.lif.detach_reset,
+        surrogate=get_surrogate(cfg.lif.surrogate, cfg.lif.surrogate_alpha),
+    )
+
+
+class _CausalMLP(nn.Module):
+    """3x (Linear + LIF) stack exposed as a per-timestep cell.
+
+    ``step(carry, x_t)`` advances one timestep; the carry holds the three
+    membrane tensors. Used inside ``lax.scan`` by the posterior/prior.
+    """
+
+    features: Tuple[int, ...]  # output width per layer
+    in_features: Tuple[int, ...]  # input width per layer (for bias init)
+    params_lif: NeuronParams
+
+    def setup(self):
+        self.denses = [
+            nn.Dense(
+                f,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(fi),
+                name=f"dense_{i}",
+            )
+            for i, (f, fi) in enumerate(zip(self.features, self.in_features))
+        ]
+
+    def init_carry(self, batch: int) -> Tuple[jax.Array, ...]:
+        return tuple(
+            jnp.zeros((batch, f), jnp.float32) for f in self.features
+        )
+
+    def step(self, carry, x_t):
+        new_carry = []
+        h = x_t
+        for dense, v in zip(self.denses, carry):
+            h = dense(h)
+            v_next, s = lif_step(v, h, self.params_lif)
+            new_carry.append(v_next)
+            h = s
+        return tuple(new_carry), h
+
+    def __call__(self, carry, x_t):
+        # linen requires a __call__ for shape inference during init
+        return self.step(carry, x_t)
+
+
+class PosteriorBernoulli(nn.Module):
+    """q(z_t | x_<=t, z_<t): causal scan producing q_z (T,B,C,k) and the
+    sampled binary latents z (T,B,C)."""
+
+    cfg: SNNVAEConfig
+
+    def setup(self):
+        c = self.cfg.latent_dim
+        self.mlp = _CausalMLP(
+            features=(2 * c, 4 * c, c * self.cfg.k),
+            in_features=(2 * c, 2 * c, 4 * c),
+            params_lif=_neuron_params(self.cfg),
+        )
+
+    def __call__(self, latent_x: jax.Array, key: jax.Array):
+        """latent_x: (T, B, C) spike train from the encoder head."""
+        t_steps, batch, c = latent_x.shape
+        k = self.cfg.k
+
+        # one random k-choice per (t, B, C) — the reference draws fresh
+        # randint per step (``vae_model.py:500-505``)
+        choice = jax.random.randint(key, (t_steps, batch, c), 0, k)
+
+        if self.is_initializing():
+            # materialize the MLP params outside the scan trace
+            self.mlp.step(
+                self.mlp.init_carry(batch),
+                jnp.zeros((batch, 2 * c), jnp.float32),
+            )
+
+        def body(carry, inp):
+            mlp_carry, z_prev = carry
+            x_t, choice_t = inp
+            mlp_in = jnp.concatenate([x_t, z_prev], axis=-1)  # (B, 2C)
+            mlp_carry, out = self.mlp.step(mlp_carry, mlp_in)  # (B, C*k)
+            q_z_t = out.reshape(batch, c, k)
+            z_t = jnp.take_along_axis(q_z_t, choice_t[..., None], axis=-1)[..., 0]
+            # z_<t feeding the next step is observed, not differentiated
+            # through (the reference samples under no_grad)
+            return (mlp_carry, jax.lax.stop_gradient(z_t)), (q_z_t, z_t)
+
+        init = (self.mlp.init_carry(batch), jnp.zeros((batch, c), jnp.float32))
+        _, (q_z, z) = jax.lax.scan(body, init, (latent_x, choice))
+        return z, q_z  # (T,B,C), (T,B,C,k)
+
+
+class PriorBernoulli(nn.Module):
+    """p(z_t | z_<t) with scheduled sampling; also ancestral ``sample``."""
+
+    cfg: SNNVAEConfig
+
+    def setup(self):
+        c = self.cfg.latent_dim
+        self.mlp = _CausalMLP(
+            features=(2 * c, 4 * c, c * self.cfg.k),
+            in_features=(c, 2 * c, 4 * c),
+            params_lif=_neuron_params(self.cfg),
+        )
+
+    def __call__(
+        self,
+        z: jax.Array,
+        key: Optional[jax.Array] = None,
+        p_scheduled: float = 0.0,
+        scheduled: bool = True,
+    ) -> jax.Array:
+        """z: (T, B, C) posterior samples. Returns p_z (T, B, C, k).
+
+        With scheduled sampling, each step t >= 5 uses the prior's own
+        thresholded mean sample (with N(0, 1e-3) jitter) instead of z_{t-1}
+        with probability ``p_scheduled`` (``vae_model.py:365-403``).
+        """
+        t_steps, batch, c = z.shape
+        k = self.cfg.k
+        z = jax.lax.stop_gradient(z)  # (``vae_model.py:351,375``)
+
+        if scheduled and key is not None:
+            # p_scheduled may be a traced scalar; no python branching on it
+            k1, k2 = jax.random.split(key)
+            # per-step scalar coin, as in the reference (one random.random()
+            # per timestep, shared across the batch)
+            coins = jax.random.uniform(k1, (t_steps,)) < p_scheduled
+            t_idx = jnp.arange(t_steps)
+            use_self = jnp.logical_and(coins, t_idx >= 5)
+            noise = 1e-3 * jax.random.normal(k2, (t_steps, batch, c))
+        else:
+            use_self = jnp.zeros((t_steps,), jnp.bool_)
+            noise = jnp.zeros((t_steps, batch, c), jnp.float32)
+
+        # inputs are z shifted right by one with z_0 = 0 (``:354-357``)
+        z_shift = jnp.concatenate(
+            [jnp.zeros((1, batch, c), z.dtype), z[:-1]], axis=0
+        )
+
+        if self.is_initializing():
+            self.mlp.step(
+                self.mlp.init_carry(batch), jnp.zeros((batch, c), jnp.float32)
+            )
+
+        def body(carry, inp):
+            mlp_carry, z_self_prev = carry
+            z_in, use_self_t, noise_t = inp
+            inp_t = jnp.where(use_self_t, z_self_prev, z_in)
+            mlp_carry, out = self.mlp.step(mlp_carry, inp_t)
+            p_z_t = out.reshape(batch, c, k)
+            prob1 = jnp.mean(p_z_t, axis=-1) + noise_t
+            z_self = (prob1 > 0.5).astype(jnp.float32)
+            return (mlp_carry, jax.lax.stop_gradient(z_self)), p_z_t
+
+        init = (self.mlp.init_carry(batch), jnp.zeros((batch, c), jnp.float32))
+        _, p_z = jax.lax.scan(body, init, (z_shift, use_self, noise))
+        return p_z
+
+    def sample(self, key: jax.Array, batch: int) -> jax.Array:
+        """Ancestral generation: z_t picked uniformly from the k Bernoulli
+        channels of p(z_t | z_<t) (``vae_model.py:405-423``)."""
+        c, k = self.cfg.latent_dim, self.cfg.k
+        t_steps = self.cfg.num_steps
+        choice = jax.random.randint(key, (t_steps, batch, c), 0, k)
+
+        if self.is_initializing():
+            self.mlp.step(
+                self.mlp.init_carry(batch), jnp.zeros((batch, c), jnp.float32)
+            )
+
+        def body(carry, choice_t):
+            mlp_carry, z_prev = carry
+            mlp_carry, out = self.mlp.step(mlp_carry, z_prev)
+            p_z_t = out.reshape(batch, c, k)
+            z_t = jnp.take_along_axis(p_z_t, choice_t[..., None], axis=-1)[..., 0]
+            return (mlp_carry, z_t), z_t
+
+        init = (self.mlp.init_carry(batch), jnp.zeros((batch, c), jnp.float32))
+        _, z = jax.lax.scan(body, init, choice)
+        return z  # (T, B, C)
+
+
+class SNNVAE(nn.Module):
+    """Full SNN-VAE: encode -> posterior/prior -> decode; MMD loss.
+
+    ``__call__(image, key, train, p_scheduled)``; images (N, H, W, C) in
+    [-0.5, 0.5]. The scheduled-sampling probability is annealed by the
+    trainer: p = 0.1 + (0.3 - 0.1) * epoch / max_epoch
+    (``vae_model.py:292-295``).
+    """
+
+    cfg: SNNVAEConfig
+    vq_cfg: VQVAEConfig = VQVAEConfig()
+    backend: str = "auto"
+
+    def setup(self):
+        self.encoder = Encoder(self.vq_cfg, backend=self.backend)
+        self.before_latent = nn.Dense(
+            self.cfg.latent_dim,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(784),
+        )
+        self.posterior = PosteriorBernoulli(self.cfg)
+        self.prior = PriorBernoulli(self.cfg)
+        self.decoder_input = nn.Dense(
+            16 * 7 * 7,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(self.cfg.latent_dim),
+        )
+        self.decoder = Decoder(self.vq_cfg, backend=self.backend)
+        self._np = _neuron_params(self.cfg)
+
+    def encode(self, image: jax.Array, key: jax.Array, train: bool,
+               p_scheduled: float):
+        x_seq = direct_encode(image, self.cfg.num_steps)
+        z_seq = self.encoder(x_seq, train=train)  # (T,N,7,7,16)
+        t, n = z_seq.shape[:2]
+        flat = z_seq.reshape(t, n, -1)  # (T,N,784)
+
+        # Linear + LIF head to the latent width (one scan over T)
+        pre = self.before_latent(flat)
+
+        def lif_body(v, x):
+            v2, s = lif_step(v, x, self._np)
+            return v2, s
+
+        v0 = jnp.zeros(pre.shape[1:], jnp.float32)
+        _, latent_x = jax.lax.scan(lif_body, v0, pre)
+
+        k1, k2 = jax.random.split(key)
+        sampled_z, q_z = self.posterior(latent_x, k1)
+        p_z = self.prior(sampled_z, k2, p_scheduled, scheduled=train)
+        return sampled_z, q_z, p_z
+
+    def decode(self, z: jax.Array, train: bool) -> jax.Array:
+        """z: (T, B, C) binary latents -> images (B, H, W, C)."""
+        pre = self.decoder_input(z)  # (T,B,784)
+
+        def lif_body(v, x):
+            v2, s = lif_step(v, x, self._np)
+            return v2, s
+
+        v0 = jnp.zeros(pre.shape[1:], jnp.float32)
+        _, spikes = jax.lax.scan(lif_body, v0, pre)
+        t, n = spikes.shape[:2]
+        grid = spikes.reshape(t, n, 7, 7, 16)
+        x_seq = self.decoder(grid, train=train)
+        return jnp.tanh(membrane_output(x_seq, self.vq_cfg.memout_decay))
+
+    def __call__(
+        self,
+        image: jax.Array,
+        key: jax.Array,
+        train: bool = True,
+        p_scheduled: float = 0.1,
+    ) -> Dict[str, jax.Array]:
+        sampled_z, q_z, p_z = self.encode(image, key, train, p_scheduled)
+        recon = self.decode(sampled_z, train)
+        if not train:
+            return {"recon": recon, "z": sampled_z}
+        recon_loss = jnp.mean((recon - image) ** 2)
+        q_ber = jnp.mean(q_z, axis=-1)  # (T,B,C)
+        p_ber = jnp.mean(p_z, axis=-1)
+        # PSP tau_s = 2 (``snn_layers.py:9``)
+        mmd_loss = jnp.mean((psp(q_ber, 2.0) - psp(p_ber, 2.0)) ** 2)
+        return {
+            "recon": recon,
+            "recon_loss": recon_loss,
+            "mmd_loss": mmd_loss,
+            "z": sampled_z,
+        }
+
+    def sample(self, key: jax.Array, batch: int = 64):
+        """Generate images by ancestral sampling from the prior."""
+        k1 = key
+        z = self.prior.sample(k1, batch)
+        x = self.decode(z, train=False)
+        return x, z

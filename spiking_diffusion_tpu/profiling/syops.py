@@ -1,0 +1,148 @@
+"""Spike-aware op/energy accounting (the reference's ``syops`` package).
+
+Parity target: ``Spiking-Diffusion-release/syops/`` — per-layer counters
+that classify traffic as ACs (accumulate-only, spike-driven) vs MACs
+(multiply-accumulate, analog) using the layer *input*'s spike-ness, plus
+spike rates, parameter counts, and the 0.9pJ/4.6pJ energy model.
+
+JAX has no forward hooks; instead every step-aware layer in
+:mod:`spiking_diffusion_tpu.models.layers` ``sow``s its counters into a
+``syops`` variable collection. When the caller does not request that
+collection, XLA dead-code-eliminates the bookkeeping — profiling is free
+unless asked for.
+
+Counting rules (mirroring ``syops/ops.py``):
+  * conv:    ops = T*N*Hout*Wout * k*k*Cin*Cout/groups (+ bias: out elems)
+  * linear:  ops = prod(in.shape) * out_features (+ out_features if bias)
+  * BN:      ops = in_elems * (2 if affine)
+  * LIF/IF:  ops = in_elems, always accrued as ACs (membrane adds)
+  * an input is "spike" if every element is 0 or 1; then ACs += ops * rate,
+    else MACs += ops. rate = mean(input).
+Note: the reference's conv hook mis-reads 5-D (T,N,C,H,W) inputs (it takes
+``input.shape[0]`` as batch and ``output.shape[2:]`` as spatial, dropping
+N and counting C as spatial — ``syops/ops.py:121-139``); this rebuild
+counts the time axis correctly and documents the divergence.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# energy per op, picojoules (45nm CMOS, the convention used by the
+# syops-counter README and the Spiking-Diffusion paper's energy table)
+E_AC_PJ = 0.9
+E_MAC_PJ = 4.6
+
+
+def spike_stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(is_spike, rate): is_spike = every element in {0,1};
+    rate = mean (fraction of ones) if spike else 1.0."""
+    xf = x.astype(jnp.float32)
+    is_spike = jnp.all((xf == 0.0) | (xf == 1.0))
+    rate = jnp.where(is_spike, jnp.mean(xf), 1.0)
+    return is_spike, rate
+
+
+def classify(ops: float, x_in: jax.Array) -> Dict[str, jax.Array]:
+    """Split a static op count into ACs/MACs by input spike-ness."""
+    is_spike, rate = spike_stats(x_in)
+    ops = jnp.float32(ops)
+    acs = jnp.where(is_spike, ops * rate, 0.0)
+    macs = jnp.where(is_spike, 0.0, ops)
+    return {"ops": ops, "acs": acs, "macs": macs, "rate": rate}
+
+
+def neuron_entry(x_in: jax.Array, s_out: jax.Array) -> Dict[str, jax.Array]:
+    """LIF/IF accounting: in_elems membrane adds, all ACs; rate from the
+    *output* spike train (``syops/ops.py:68-75``)."""
+    ops = jnp.float32(x_in.size)
+    _, rate = spike_stats(s_out)
+    return {"ops": ops, "acs": ops, "macs": jnp.zeros(()), "rate": rate}
+
+
+def collect(variables_syops: Any) -> Dict[str, Dict[str, float]]:
+    """Flatten a sown 'syops' collection into {layer_path: entry}."""
+    flat = {}
+
+    def walk(node, path):
+        if isinstance(node, dict) and "ops" in node:
+            flat["/".join(path)] = {
+                k: float(np.asarray(v[0] if isinstance(v, tuple) else v))
+                for k, v in node.items()
+            }
+            return
+        if isinstance(node, (dict,)):
+            for k, v in node.items():
+                walk(v, path + (str(k),))
+        elif isinstance(node, tuple):
+            # sow default reduce wraps each value in a tuple
+            for i, v in enumerate(node):
+                walk(v, path if len(node) == 1 else path + (str(i),))
+
+    walk(variables_syops, ())
+    return flat
+
+
+def totals(per_layer: Dict[str, Dict[str, float]]) -> Dict[str, float]:
+    ops = sum(e["ops"] for e in per_layer.values())
+    acs = sum(e["acs"] for e in per_layer.values())
+    macs = sum(e["macs"] for e in per_layer.values())
+    rates = [e["rate"] for e in per_layer.values()]
+    return {
+        "ops": ops,
+        "acs": acs,
+        "macs": macs,
+        "mean_spike_rate": float(np.mean(rates)) if rates else 1.0,
+        "energy_mJ": (acs * E_AC_PJ + macs * E_MAC_PJ) * 1e-9,
+    }
+
+
+def count_params(params: Any) -> int:
+    return int(sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params)))
+
+
+def profile_apply(model, variables, *args, **kwargs):
+    """Run ``model.apply`` collecting the syops counters.
+
+    Returns (output, per_layer dict, totals dict). Mirrors
+    ``syops.get_model_complexity_info`` (``flops_counter.py:17-65``) but
+    for a single batch; average over a loader by calling repeatedly.
+    """
+    mutable = kwargs.pop("mutable", [])
+    if isinstance(mutable, (list, tuple)):
+        mutable = list(mutable) + ["syops"]
+    else:
+        mutable = [mutable, "syops"]
+    out, mut = model.apply(variables, *args, mutable=mutable, **kwargs)
+    per_layer = collect(mut.get("syops", {}))
+    return out, per_layer, totals(per_layer)
+
+
+def format_report(
+    per_layer: Dict[str, Dict[str, float]],
+    total: Dict[str, float],
+    n_params: int,
+) -> str:
+    """Human-readable per-layer table (``syops/engine.py:104-165``)."""
+    lines = [
+        f"{'layer':60s} {'Ops':>14s} {'ACs':>14s} {'MACs':>14s} {'rate%':>7s}"
+    ]
+    for name, e in sorted(per_layer.items()):
+        lines.append(
+            f"{name:60s} {e['ops']:14.3e} {e['acs']:14.3e} "
+            f"{e['macs']:14.3e} {e['rate'] * 100:6.2f}%"
+        )
+    lines.append("-" * 112)
+    lines.append(
+        f"{'TOTAL':60s} {total['ops']:14.3e} {total['acs']:14.3e} "
+        f"{total['macs']:14.3e} {total['mean_spike_rate'] * 100:6.2f}%"
+    )
+    lines.append(
+        f"params: {n_params:,}   estimated energy: "
+        f"{total['energy_mJ']:.4f} mJ  (ACs*{E_AC_PJ} + MACs*{E_MAC_PJ} pJ)"
+    )
+    return "\n".join(lines)

@@ -19,13 +19,17 @@ from spiking_diffusion_tpu.snn.surrogate import (
 )
 from spiking_diffusion_tpu.snn.neuron import (
     NeuronParams,
+    eif_scan,
     if_step,
+    izhikevich_scan,
     lif_multi_step,
     lif_scan,
     lif_step,
     if_scan,
     plif_scan,
+    qif_scan,
 )
+from spiking_diffusion_tpu.snn import functional, quantize
 from spiking_diffusion_tpu.snn.temporal import (
     membrane_output,
     membrane_output_coef,
@@ -50,12 +54,17 @@ __all__ = [
     "soft_sign",
     "spike_fn",
     "NeuronParams",
+    "eif_scan",
+    "functional",
     "if_step",
+    "izhikevich_scan",
     "lif_multi_step",
     "lif_scan",
     "lif_step",
     "if_scan",
     "plif_scan",
+    "qif_scan",
+    "quantize",
     "membrane_output",
     "membrane_output_coef",
     "psp",

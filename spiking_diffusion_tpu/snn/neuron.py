@@ -163,6 +163,92 @@ def plif_scan(
     return s_seq.astype(x_seq.dtype), v_last
 
 
+def qif_scan(
+    x_seq: jax.Array,
+    v_init: Optional[jax.Array] = None,
+    params: NeuronParams = NeuronParams(),
+    a0: float = 1.0,
+    v_c: float = 0.8,
+):
+    """Quadratic integrate-and-fire over (T, ...) input.
+
+    Parity: spikingjelly ``QIFNode`` charge
+    H[t] = V[t-1] + (X[t] + a0 (V-v_reset)(V-v_c)) / tau.
+    """
+    xt = x_seq.astype(jnp.float32)
+    if v_init is None:
+        v_init = jnp.full(x_seq.shape[1:], params.v_reset, jnp.float32)
+
+    def body(v, x):
+        h = v + (x + a0 * (v - params.v_reset) * (v - v_c)) * params.decay
+        s = _fire(h, params)
+        return _reset(h, s, params), s
+
+    v_last, s_seq = jax.lax.scan(body, v_init, xt)
+    return s_seq.astype(x_seq.dtype), v_last
+
+
+def eif_scan(
+    x_seq: jax.Array,
+    v_init: Optional[jax.Array] = None,
+    params: NeuronParams = NeuronParams(),
+    delta_t: float = 1.0,
+    theta_rh: float = 0.8,
+):
+    """Exponential integrate-and-fire over (T, ...) input.
+
+    Parity: spikingjelly ``EIFNode`` charge
+    H = V + (X - (V - v_rest) + dT * exp((V - theta_rh)/dT)) / tau.
+    """
+    xt = x_seq.astype(jnp.float32)
+    if v_init is None:
+        v_init = jnp.full(x_seq.shape[1:], params.v_reset, jnp.float32)
+
+    def body(v, x):
+        h = v + (
+            x - (v - params.v_reset)
+            + delta_t * jnp.exp((v - theta_rh) / delta_t)
+        ) * params.decay
+        s = _fire(h, params)
+        return _reset(h, s, params), s
+
+    v_last, s_seq = jax.lax.scan(body, v_init, xt)
+    return s_seq.astype(x_seq.dtype), v_last
+
+
+def izhikevich_scan(
+    x_seq: jax.Array,
+    v_init: Optional[jax.Array] = None,
+    w_init: Optional[jax.Array] = None,
+    params: NeuronParams = NeuronParams(),
+    a: float = 0.02,
+    b: float = 0.2,
+    v_rest: float = -0.1,
+    w_rest: float = 0.0,
+    tau_w: float = 2.0,
+    a0: float = 1.0,
+    v_c: float = 0.8,
+):
+    """Izhikevich (adaptive quadratic) neuron: two-variable dynamics with a
+    recovery current w (parity: spikingjelly ``IzhikevichNode``)."""
+    xt = x_seq.astype(jnp.float32)
+    if v_init is None:
+        v_init = jnp.full(x_seq.shape[1:], params.v_reset, jnp.float32)
+    if w_init is None:
+        w_init = jnp.full(x_seq.shape[1:], w_rest, jnp.float32)
+
+    def body(carry, x):
+        v, w = carry
+        h = v + (x + a0 * (v - v_rest) * (v - v_c) - w) * params.decay
+        s = _fire(h, params)
+        v_next = _reset(h, s, params)
+        w_next = w + (a * (b * (v_next - v_rest)) - w + w_rest) / tau_w
+        return (v_next, w_next), s
+
+    (v_last, w_last), s_seq = jax.lax.scan(body, (v_init, w_init), xt)
+    return s_seq.astype(x_seq.dtype), v_last, w_last
+
+
 def lif_multi_step(
     x_seq: jax.Array,
     v_init: Optional[jax.Array] = None,
