@@ -20,6 +20,12 @@ from spiking_diffusion_tpu.data.datasets import (
     load_dataset,
     synthetic_dataset,
 )
+from spiking_diffusion_tpu.data.extra_datasets import (
+    load_cifar10,
+    load_mnist_c,
+    load_notmnist,
+    mnist_square,
+)
 
 __all__ = [
     "Dataset",
@@ -27,4 +33,8 @@ __all__ = [
     "data_variance",
     "load_dataset",
     "synthetic_dataset",
+    "load_cifar10",
+    "load_mnist_c",
+    "load_notmnist",
+    "mnist_square",
 ]

@@ -39,8 +39,11 @@ from spiking_diffusion_tpu.snn.temporal import (
 from spiking_diffusion_tpu.snn.encoding import (
     direct_encode,
     latency_encode,
+    periodic_encode,
     poisson_encode,
+    weighted_phase_encode,
 )
+from spiking_diffusion_tpu.snn import learning, rnn, tempotron
 
 __all__ = [
     "SurrogateFn",
@@ -71,5 +74,10 @@ __all__ = [
     "seq_apply",
     "direct_encode",
     "latency_encode",
+    "learning",
+    "periodic_encode",
     "poisson_encode",
+    "rnn",
+    "tempotron",
+    "weighted_phase_encode",
 ]

@@ -30,6 +30,30 @@ def poisson_encode(key: jax.Array, x: jax.Array, num_steps: int) -> jax.Array:
     return (u < x).astype(x.dtype)
 
 
+def periodic_encode(spike_pattern: jax.Array, num_steps: int) -> jax.Array:
+    """Tile a fixed (T0, ...) spike pattern periodically to T steps
+    (spikingjelly ``PeriodicEncoder``)."""
+    t0 = spike_pattern.shape[0]
+    reps = -(-num_steps // t0)
+    return jnp.tile(spike_pattern, (reps,) + (1,) * (spike_pattern.ndim - 1))[
+        :num_steps
+    ]
+
+
+def weighted_phase_encode(x: jax.Array, num_phases: int) -> jax.Array:
+    """Weighted phase coding (spikingjelly ``WeightedPhaseEncoder``):
+    x in [0, 1 - 2^-K] is decomposed in binary over K phases; spike at
+    phase k carries weight 2^-(k+1). Returns (K, ...) spikes."""
+    spikes = []
+    rest = x
+    for k in range(num_phases):
+        w = 2.0 ** (-(k + 1))
+        s = (rest >= w).astype(x.dtype)
+        rest = rest - s * w
+        spikes.append(s)
+    return jnp.stack(spikes)
+
+
 def latency_encode(x: jax.Array, num_steps: int) -> jax.Array:
     """Latency coding: neuron with intensity x spikes once at
     t = round((T-1) * (1 - x)); brighter inputs spike earlier."""

@@ -114,9 +114,16 @@ def train_vqvae(
     log_every: int = 20,
     log_fn: Optional[Callable[[str], None]] = print,
     epoch_callback: Optional[Callable[[int, TrainState], None]] = None,
+    data_parallel: int = 1,
 ) -> TrainState:
     """Full stage-1 training loop. Images are raw [0,1]; the -0.5 shift is
-    applied per batch (``main.py:131``)."""
+    applied per batch (``main.py:131``).
+
+    ``data_parallel > 1`` trains over an n-device 1-D mesh: parameters
+    replicated, batch sharded on its leading axis; XLA inserts the gradient
+    all-reduce over ICI from the sharding annotations (the reference has no
+    distributed path at all, SURVEY.md §2d).
+    """
     key = jax.random.PRNGKey(seed)
     sample = jnp.asarray(images[:batch_size] - 0.5)
     variables = model.init(key, sample, train=True)
@@ -125,13 +132,23 @@ def train_vqvae(
     )
     step_fn = make_train_step_vqvae(data_variance)
 
+    place = lambda b: jnp.asarray(b)
+    if data_parallel > 1:
+        from spiking_diffusion_tpu.parallel import make_mesh, replicate, shard_batch
+
+        if batch_size % data_parallel:
+            raise ValueError("batch_size must divide by data_parallel")
+        mesh = make_mesh(data_parallel)
+        state = replicate(state, mesh)
+        place = lambda b: shard_batch(jnp.asarray(b), mesh)
+
     steps_per_epoch = images.shape[0] // batch_size
     for epoch in range(epochs):
         t0 = time.time()
         for i, batch in enumerate(
             batch_iterator(images, batch_size, seed=seed, epoch=epoch)
         ):
-            state, metrics = step_fn(state, jnp.asarray(batch - 0.5))
+            state, metrics = step_fn(state, place(batch - 0.5))
             if log_fn and ((i + 1) % log_every == 0 or i + 1 == steps_per_epoch):
                 m = jax.device_get(metrics)
                 log_fn(
