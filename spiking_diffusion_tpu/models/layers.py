@@ -28,21 +28,11 @@ from spiking_diffusion_tpu.snn.neuron import NeuronParams, lif_multi_step
 from spiking_diffusion_tpu.snn.temporal import seq_apply
 from spiking_diffusion_tpu.profiling import syops as _syops
 
-# torch Conv2d/Linear kernel default: kaiming_uniform(a=sqrt(5)) ==
-# uniform with bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform)
-torch_kernel_init = nn.initializers.variance_scaling(
-    1.0 / 3.0, "fan_in", "uniform"
+# re-exported from utils.init (kept here for the public API surface)
+from spiking_diffusion_tpu.utils.init import (  # noqa: F401
+    torch_bias_init,
+    torch_kernel_init,
 )
-
-
-def torch_bias_init(fan_in: int) -> Callable:
-    """torch Conv2d/Linear bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
-    bound = 1.0 / (fan_in**0.5)
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from spiking_diffusion_tpu.models.layers import torch_bias_init, torch_kernel_init
+from spiking_diffusion_tpu.utils.init import torch_bias_init, torch_kernel_init
 from spiking_diffusion_tpu.snn.surrogate import SurrogateFn, atan
 
 
