@@ -187,6 +187,74 @@ class SeqLinear(nn.Module):
         return y_seq
 
 
+class SeqMaxPool(nn.Module):
+    """MaxPool2d over (T, N, H, W, C) (spikingjelly ``layer.MaxPool2d``)."""
+
+    window: int = 2
+    strides: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        s = self.strides or self.window
+        return seq_apply(
+            lambda x: nn.max_pool(x, (self.window, self.window), (s, s)), x_seq
+        )
+
+
+class SeqAvgPool(nn.Module):
+    """AvgPool2d over (T, N, H, W, C) (spikingjelly ``layer.AvgPool2d``)."""
+
+    window: int = 2
+    strides: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x_seq: jax.Array) -> jax.Array:
+        s = self.strides or self.window
+        return seq_apply(
+            lambda x: nn.avg_pool(x, (self.window, self.window), (s, s)), x_seq
+        )
+
+
+class SeqDropout(nn.Module):
+    """Dropout with the mask FROZEN across the T axis.
+
+    Parity: spikingjelly ``layer.Dropout`` (``layer.py:1047-1142``) samples
+    one mask per forward and reuses it for all timesteps (an SNN-specific
+    behavior — per-step masks would break temporal spike statistics).
+    """
+
+    rate: float = 0.5
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self, x_seq: jax.Array, deterministic: Optional[bool] = None
+    ) -> jax.Array:
+        det = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if det or self.rate == 0.0:
+            return x_seq
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(rng, keep, x_seq.shape[1:])
+        return x_seq * mask / keep
+
+
+class VotingLayer(nn.Module):
+    """Average-pool the class axis in groups of ``voting_size``
+    (spikingjelly ``layer.VotingLayer``): (..., C*k) -> (..., C)."""
+
+    voting_size: int = 10
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1] // self.voting_size
+        return jnp.mean(
+            x.reshape(x.shape[:-1] + (c, self.voting_size)), axis=-1
+        )
+
+
 class LIF(nn.Module):
     """LIF spiking activation over a (T, N, ...) sequence.
 
