@@ -49,12 +49,14 @@ def build():
     key = jax.random.PRNGKey(0)
     model = SNNVQVAE(vq_cfg, backend="auto")
     img = jnp.zeros((2, 28, 28, 1), jnp.float32)
-    m_vars = model.init(key, img, train=True)
+    m_vars = jax.jit(lambda k, x: model.init(k, x, train=True))(key, img)
 
     denoiser = SpikingDenoiser(d_cfg, backend="auto")
     x0 = jnp.zeros((2, 7, 7), jnp.int32)
     t0 = jnp.ones((2,), jnp.int32)
-    d_vars = denoiser.init(key, x0, t0, train=True)
+    d_vars = jax.jit(
+        lambda k, x, t: denoiser.init(k, x, t, train=True)
+    )(key, x0, t0)
 
     def generate(m_vars, d_vars, rng):
         def denoise(x_t, t):

@@ -209,14 +209,16 @@ def main(argv: Optional[List[str]] = None) -> None:
 
 def _init_state(args, model, ds, key):
     sample = jnp.asarray(ds.train_images[: args.batch_size] - 0.5)
-    variables = model.init(key, sample, train=True)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(key, sample)
     return create_train_state(model, variables)
 
 
 def _init_diff_state(args, denoiser, indices, key):
     x0 = jnp.asarray(indices[: args.batch_size])
     t0 = jnp.ones((x0.shape[0],), jnp.int32)
-    variables = denoiser.init(key, x0, t0, train=True)
+    variables = jax.jit(
+        lambda k, x, t: denoiser.init(k, x, t, train=True)
+    )(key, x0, t0)
     return create_train_state(denoiser, variables)
 
 
@@ -330,7 +332,9 @@ def _run_snn_vae(args, model, ds, save_path, sample_path, root_key):
 
     sample = jnp.asarray(ds.train_images[: args.batch_size] - 0.5)
     key, init_key, fwd_key = jax.random.split(root_key, 3)
-    variables = model.init(init_key, sample, fwd_key, train=True)
+    variables = jax.jit(
+        lambda k1, x, k2: model.init(k1, x, k2, train=True)
+    )(init_key, sample, fwd_key)
     tx = make_adamw()
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

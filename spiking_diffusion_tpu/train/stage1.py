@@ -126,7 +126,7 @@ def train_vqvae(
     """
     key = jax.random.PRNGKey(seed)
     sample = jnp.asarray(images[:batch_size] - 0.5)
-    variables = model.init(key, sample, train=True)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(key, sample)
     state = create_train_state(
         model, variables, learning_rate=learning_rate, weight_decay=weight_decay
     )

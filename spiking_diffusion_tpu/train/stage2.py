@@ -75,7 +75,9 @@ def train_diffusion(
     init_key, key = jax.random.split(key)
     sample = jnp.asarray(indices[:batch_size])
     t0 = jnp.ones((batch_size,), jnp.int32)
-    variables = denoiser.init(init_key, sample, t0, train=True)
+    variables = jax.jit(
+        lambda k, x, t: denoiser.init(k, x, t, train=True)
+    )(init_key, sample, t0)
     state = create_train_state(
         denoiser, variables, learning_rate=learning_rate, weight_decay=weight_decay
     )
