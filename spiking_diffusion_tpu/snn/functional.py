@@ -135,6 +135,33 @@ def temporal_efficient_loss(
     return jnp.mean(per_step)
 
 
+def chunked_scan(
+    step_fn: Callable[[Any, jax.Array], Tuple[Any, jax.Array]],
+    init: Any,
+    x_seq: jax.Array,
+    chunk: int,
+) -> Tuple[Any, jax.Array]:
+    """Scan over T in rematerialized chunks.
+
+    Parity: ``functional.chunk_multi_step_forward`` (``functional.py:567``),
+    which processes long sequences in pieces to bound memory. Here each
+    chunk is wrapped in ``jax.checkpoint`` so the backward pass recomputes
+    within-chunk activations instead of storing all T steps — the scan
+    carry (membranes) is the only cross-chunk state.
+    """
+    t = x_seq.shape[0]
+    if t % chunk:
+        raise ValueError(f"T={t} not divisible by chunk={chunk}")
+
+    @jax.checkpoint
+    def run_chunk(carry, x_chunk):
+        return jax.lax.scan(step_fn, carry, x_chunk)
+
+    x_chunks = x_seq.reshape((t // chunk, chunk) + x_seq.shape[1:])
+    carry, ys = jax.lax.scan(run_chunk, init, x_chunks)
+    return carry, ys.reshape((t,) + ys.shape[2:])
+
+
 def delay(x_seq: jax.Array, steps: int) -> jax.Array:
     """Time-shift a (T, ...) sequence by ``steps``, zero-padding the front
     (spikingjelly ``layer.Delay``)."""
