@@ -25,6 +25,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from spiking_diffusion_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from spiking_diffusion_tpu.config import DiffusionConfig, VQVAEConfig
 from spiking_diffusion_tpu.models import SNNVQVAE, SpikingDenoiser
 from spiking_diffusion_tpu.models import diffusion
@@ -40,18 +44,23 @@ _REFERENCE_IMG_PER_SEC = 6.0
 
 BATCH = 256  # per-chip generation batch (the TPU eats the reference's 16)
 N_ITERS = 8
+# bf16 activations halve HBM traffic; the pipeline is bandwidth-bound
+# (49 denoiser steps of ~400MB activation tensors). Spike trains are
+# exactly representable in bf16 (0/1); membranes stay fp32 in-kernel.
+DTYPE = jnp.bfloat16
 
 
-def build():
+def build(dtype=None):
     vq_cfg = VQVAEConfig()  # T=16, K=128, D=16
     d_cfg = DiffusionConfig()  # 49 steps, mask_id=128
+    dtype = DTYPE if dtype is None else dtype
 
     key = jax.random.PRNGKey(0)
-    model = SNNVQVAE(vq_cfg, backend="auto")
+    model = SNNVQVAE(vq_cfg, backend="auto", dtype=dtype)
     img = jnp.zeros((2, 28, 28, 1), jnp.float32)
     m_vars = jax.jit(lambda k, x: model.init(k, x, train=True))(key, img)
 
-    denoiser = SpikingDenoiser(d_cfg, backend="auto")
+    denoiser = SpikingDenoiser(d_cfg, backend="auto", dtype=dtype)
     x0 = jnp.zeros((2, 7, 7), jnp.int32)
     t0 = jnp.ones((2,), jnp.int32)
     d_vars = jax.jit(
@@ -71,18 +80,20 @@ def build():
 
 
 def main():
+    import numpy as np
+
     gen, m_vars, d_vars = build()
     key = jax.random.PRNGKey(42)
 
-    # compile + warmup
-    out = gen(m_vars, d_vars, key)
-    jax.block_until_ready(out)
+    # compile + warmup (host-materialize: on this platform
+    # block_until_ready does not reliably track async work — a device->host
+    # copy is the only sound synchronization point)
+    out = np.asarray(gen(m_vars, d_vars, key))
 
     t0 = time.perf_counter()
     for i in range(N_ITERS):
         key, k = jax.random.split(key)
-        out = gen(m_vars, d_vars, k)
-    jax.block_until_ready(out)
+        out = np.asarray(gen(m_vars, d_vars, k))
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * N_ITERS / dt

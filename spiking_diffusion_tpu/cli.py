@@ -102,6 +102,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from spiking_diffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     np.random.seed(args.seed)
     root_key = jax.random.PRNGKey(args.seed)

@@ -221,15 +221,24 @@ def load_torch_weights_npz(npz_path: str, num_classes: int = 1000):
     return model, {"params": params, "batch_stats": stats}
 
 
-def resize_for_inception(images: np.ndarray) -> jax.Array:
+def resize_for_inception(
+    images: np.ndarray, antialias: bool = False
+) -> jax.Array:
     """(N, H, W, 1|3) in [0,1] -> (N, 299, 299, 3) bilinear, on device.
 
     Parity: the reference's ``nn.Upsample(size=(299, 299), mode='bilinear')``
-    + channel repeat (``main.py:503-506``).
+    + channel repeat (``main.py:503-506``). ``antialias=True`` uses the
+    anti-aliased scale-and-translate resize — the fix the reference's
+    vendored-but-unwired clean-fid package exists to provide
+    (``metric/cleanfid/resize.py``).
     """
     x = jnp.asarray(images, jnp.float32)
     if x.shape[-1] == 1:
         x = jnp.repeat(x, 3, axis=-1)
+    if antialias:
+        return jax.image.resize(
+            x, (x.shape[0], 299, 299, 3), method="lanczos3", antialias=True
+        )
     return jax.image.resize(
         x, (x.shape[0], 299, 299, 3), method="bilinear"
     )

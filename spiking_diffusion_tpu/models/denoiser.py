@@ -26,6 +26,7 @@ class SpikingDenoiser(nn.Module):
 
     cfg: DiffusionConfig
     backend: str = "auto"
+    dtype: jnp.dtype = None  # e.g. jnp.bfloat16 for inference
 
     @nn.compact
     def __call__(
@@ -46,13 +47,17 @@ class SpikingDenoiser(nn.Module):
             t.astype(jnp.float32)[:, None, None, None], x.shape
         )
         x = jnp.concatenate([x, t_map], axis=-1)  # (N, h, w, 2)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x_seq = direct_encode(x, c.num_steps)  # (T, N, h, w, 2)
 
         feats = []
         h = x_seq
         for ch in c.denoiser_channels:
-            h = SeqConv(ch, kernel_size=3, strides=1, padding=1)(h)
-            h = SeqBatchNorm(use_running_average=not train)(h)
+            h = SeqConv(ch, kernel_size=3, strides=1, padding=1,
+                        dtype=self.dtype)(h)
+            h = SeqBatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(h)
             h = LIF(params=p, backend=self.backend)(h)
             feats.append(h)
 
@@ -60,7 +65,8 @@ class SpikingDenoiser(nn.Module):
         # (``vq_diffusion.py:205``: torch.cat((x5, x1), dim=2) with dim 2 ==
         # channel axis of (T,N,C,H,W))
         h = jnp.concatenate([feats[-1], feats[0]], axis=-1)
-        h = SeqConv(c.num_embeddings, kernel_size=3, strides=1, padding=1)(h)
+        h = SeqConv(c.num_embeddings, kernel_size=3, strides=1, padding=1,
+                    dtype=self.dtype)(h)
 
-        # firing-rate decode over T (``vq_diffusion.py:206``)
-        return jnp.sum(h, axis=0) / c.num_steps
+        # firing-rate decode over T (``vq_diffusion.py:206``); logits fp32
+        return (jnp.sum(h, axis=0) / c.num_steps).astype(jnp.float32)

@@ -10,7 +10,7 @@ consumes indices with the same semantics (``vq_diffusion.py:34``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -49,18 +49,23 @@ class Encoder(nn.Module):
 
     cfg: VQVAEConfig
     backend: str = "auto"
+    dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for inference
 
     @nn.compact
     def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
         p = _neuron_params(self.cfg)
         c1, c2 = self.cfg.enc_channels
+        if self.dtype is not None:
+            x_seq = x_seq.astype(self.dtype)
         for feats, k, s, pad in (
             (c1, 3, 2, 1),
             (c2, 3, 2, 1),
             (self.cfg.embedding_dim, 1, 1, 0),
         ):
-            x_seq = SeqConv(feats, kernel_size=k, strides=s, padding=pad)(x_seq)
-            x_seq = SeqBatchNorm(use_running_average=not train)(x_seq)
+            x_seq = SeqConv(feats, kernel_size=k, strides=s, padding=pad,
+                            dtype=self.dtype)(x_seq)
+            x_seq = SeqBatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x_seq)
             x_seq = LIF(params=p, backend=self.backend)(x_seq)
         return x_seq
 
@@ -74,21 +79,27 @@ class Decoder(nn.Module):
 
     cfg: VQVAEConfig
     backend: str = "auto"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
         p = _neuron_params(self.cfg)
         d1, d2 = self.cfg.dec_channels
+        if self.dtype is not None:
+            x_seq = x_seq.astype(self.dtype)
         for feats in (d1, d2):
             x_seq = SeqConvTranspose(
-                feats, kernel_size=3, strides=2, padding=1, output_padding=1
+                feats, kernel_size=3, strides=2, padding=1, output_padding=1,
+                dtype=self.dtype,
             )(x_seq)
-            x_seq = SeqBatchNorm(use_running_average=not train)(x_seq)
+            x_seq = SeqBatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x_seq)
             x_seq = LIF(params=p, backend=self.backend)(x_seq)
         x_seq = SeqConvTranspose(
-            self.cfg.in_channels, kernel_size=3, strides=1, padding=1
+            self.cfg.in_channels, kernel_size=3, strides=1, padding=1,
+            dtype=self.dtype,
         )(x_seq)
-        return x_seq
+        return x_seq.astype(jnp.float32)
 
 
 class VectorQuantizer(nn.Module):
@@ -211,11 +222,12 @@ class SNNVQVAE(nn.Module):
 
     cfg: VQVAEConfig
     backend: str = "auto"
+    dtype: Optional[jnp.dtype] = None  # bfloat16 halves HBM traffic
 
     def setup(self):
-        self.encoder = Encoder(self.cfg, backend=self.backend)
+        self.encoder = Encoder(self.cfg, backend=self.backend, dtype=self.dtype)
         self.vq_layer = VectorQuantizer(self.cfg, backend=self.backend)
-        self.decoder = Decoder(self.cfg, backend=self.backend)
+        self.decoder = Decoder(self.cfg, backend=self.backend, dtype=self.dtype)
 
     def __call__(
         self, image: jax.Array, train: bool = True, data_variance: float = 1.0

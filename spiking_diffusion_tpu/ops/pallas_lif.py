@@ -226,10 +226,12 @@ def lif_fused(
     m = 1
     for d in x_seq.shape[1:]:
         m *= int(d)
-    x2d = x_seq.reshape(t, m)
+    # membranes are fp32 by rule; cast bf16 inputs up OUTSIDE the
+    # custom_vjp so its primal/cotangent dtypes are uniformly fp32
+    x2d = x_seq.reshape(t, m).astype(jnp.float32)
     if v_init is None:
         v0 = jnp.full((m,), params.v_reset, jnp.float32)
     else:
-        v0 = v_init.reshape(m)
+        v0 = v_init.reshape(m).astype(jnp.float32)
     s = _lif_fused_2d(x2d, v0, params)
     return s.reshape(x_seq.shape).astype(x_seq.dtype)

@@ -17,6 +17,20 @@ from typing import Any, Callable, Dict
 import jax
 
 
+def _sync(out: Any) -> None:
+    """Synchronize on a computation's completion.
+
+    ``jax.block_until_ready`` is unreliable on some experimental platforms
+    (the axon TPU tunnel returns early); materializing one leaf to host is
+    a sound sync point everywhere.
+    """
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        np.asarray(leaves[0])
+
+
 def benchmark(
     fn: Callable[..., Any],
     *args: Any,
@@ -28,13 +42,13 @@ def benchmark(
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _sync(out)
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.perf_counter() - t0)
     mean_s = sum(times) / len(times)
     return {

@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache setup.
+
+The flagship jits (T=16 train step, 49-step sampler) take minutes to
+compile on TPU; enabling JAX's persistent compilation cache makes every
+process after the first start in seconds. Called by the CLI, bench, and
+the driver entry points; safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags

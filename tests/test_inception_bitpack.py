@@ -73,6 +73,15 @@ def test_resize_for_inception():
     )
 
 
+def test_resize_antialias_mode():
+    from spiking_diffusion_tpu.metrics.inception import resize_for_inception
+
+    x = np.random.RandomState(1).rand(1, 28, 28, 1).astype(np.float32)
+    y = resize_for_inception(x, antialias=True)
+    assert y.shape == (1, 299, 299, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_weight_converter_naming():
     from spiking_diffusion_tpu.metrics.inception import (
         convert_torchvision_state_dict,
