@@ -44,16 +44,16 @@ _REFERENCE_IMG_PER_SEC = 6.0
 
 BATCH = 256  # per-chip generation batch (the TPU eats the reference's 16)
 N_ITERS = 8
-# bf16 activations halve HBM traffic; the pipeline is bandwidth-bound
-# (49 denoiser steps of ~400MB activation tensors). Spike trains are
-# exactly representable in bf16 (0/1); membranes stay fp32 in-kernel.
-DTYPE = jnp.bfloat16
+# measured on v5e: fp32 261 img/s vs bf16 228 img/s at batch 256 — the
+# 7x7-spatial convs are layout/compute-shape dominated, so halving
+# activation bytes does not pay here; fp32 is the faster default.
+# (bf16 remains available via SNNVQVAE/SpikingDenoiser dtype=... .)
+DTYPE = None  # fp32
 
 
-def build(dtype=None):
+def build(dtype=DTYPE):
     vq_cfg = VQVAEConfig()  # T=16, K=128, D=16
     d_cfg = DiffusionConfig()  # 49 steps, mask_id=128
-    dtype = DTYPE if dtype is None else dtype
 
     key = jax.random.PRNGKey(0)
     model = SNNVQVAE(vq_cfg, backend="auto", dtype=dtype)

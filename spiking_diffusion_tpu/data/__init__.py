@@ -21,6 +21,7 @@ from spiking_diffusion_tpu.data.datasets import (
     synthetic_dataset,
 )
 from spiking_diffusion_tpu.data.extra_datasets import (
+    load_celeba,
     load_cifar10,
     load_mnist_c,
     load_notmnist,
@@ -33,6 +34,7 @@ __all__ = [
     "data_variance",
     "load_dataset",
     "synthetic_dataset",
+    "load_celeba",
     "load_cifar10",
     "load_mnist_c",
     "load_notmnist",

@@ -90,6 +90,57 @@ def load_cifar10(
     return Dataset(name, tri, trl, tei, tel, 10)
 
 
+def load_celeba(
+    data_path: Optional[str] = None,
+    image_size: int = 64,
+    max_images: Optional[int] = None,
+    synthetic_ok: bool = True,
+) -> Dataset:
+    """CelebA faces from the standard ``img_align_celeba`` jpg folder
+    (``load_dataset_snn.py:96-126``): center-crop to square, resize.
+
+    Labels are zeros (the reference uses CelebA unconditionally).
+    """
+    root = None
+    for base in filter(None, [data_path, "./datasets", os.path.expanduser("~/datasets")]):
+        for sub in ("celeba/img_align_celeba", "img_align_celeba", "CelebA"):
+            cand = os.path.join(base, sub)
+            if os.path.isdir(cand):
+                root = cand
+                break
+        if root:
+            break
+    if root is None:
+        if not synthetic_ok:
+            raise FileNotFoundError("img_align_celeba not found")
+        ds = synthetic_dataset("CelebA", n_train=1024, n_test=256,
+                              num_classes=1, image_size=image_size)
+        tri = np.repeat(ds.train_images, 3, axis=-1)
+        tei = np.repeat(ds.test_images, 3, axis=-1)
+        return Dataset("CelebA", tri, ds.train_labels, tei, ds.test_labels,
+                       1, synthetic=True)
+
+    from PIL import Image
+
+    files = sorted(f for f in os.listdir(root) if f.endswith((".jpg", ".png")))
+    if max_images:
+        files = files[:max_images]
+    images = []
+    for fname in files:
+        img = Image.open(os.path.join(root, fname)).convert("RGB")
+        w, h = img.size
+        s = min(w, h)
+        img = img.crop(((w - s) // 2, (h - s) // 2,
+                        (w + s) // 2, (h + s) // 2))
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+        images.append(np.asarray(img, np.float32) / 255.0)
+    images = np.stack(images)
+    labels = np.zeros((len(images),), np.int32)
+    cut = int(len(images) * 0.9)
+    return Dataset("CelebA", images[:cut], labels[:cut],
+                   images[cut:], labels[cut:], 1)
+
+
 def mnist_square(
     n_train: int = 2048,
     n_test: int = 512,

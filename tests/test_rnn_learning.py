@@ -126,11 +126,16 @@ def test_weighted_phase_encode():
 
 def test_extra_datasets_synthetic_fallbacks():
     from spiking_diffusion_tpu.data import (
+        load_celeba,
         load_cifar10,
         load_mnist_c,
         load_notmnist,
         mnist_square,
     )
+
+    cel = load_celeba(data_path="/nonexistent")
+    assert cel.train_images.shape[-1] == 3
+    assert cel.train_images.shape[1] == 64
 
     c = load_cifar10(data_path="/nonexistent")
     assert c.train_images.shape[-1] == 3
