@@ -97,6 +97,9 @@ def train_lenet(
         return optax.apply_updates(params, updates), opt_state, loss
 
     n = images.shape[0]
+    if n < batch_size:
+        batch_size = max(n, 1)
+    loss = jnp.zeros(())
     for epoch in range(epochs):
         order = np.random.RandomState(seed + epoch).permutation(n)
         for i in range(0, n - n % batch_size, batch_size):
