@@ -58,7 +58,7 @@ class SpikingDenoiser(nn.Module):
                         dtype=self.dtype)(h)
             h = SeqBatchNorm(use_running_average=not train,
                              dtype=self.dtype)(h)
-            h = LIF(params=p, backend=self.backend)(h)
+            h = LIF(params=p, backend=self.backend)(h, train=train)
             feats.append(h)
 
         # U-Net style skip: cat(last, first) on channels

@@ -267,7 +267,9 @@ class LIF(nn.Module):
     backend: str = "auto"
 
     @nn.compact
-    def __call__(self, x_seq: jax.Array) -> jax.Array:
-        s_seq = lif_multi_step(x_seq, params=self.params, backend=self.backend)
+    def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
+        s_seq = lif_multi_step(
+            x_seq, params=self.params, backend=self.backend, train=train
+        )
         self.sow("syops", "counters", _syops.neuron_entry(x_seq, s_seq))
         return s_seq

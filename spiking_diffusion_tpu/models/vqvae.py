@@ -66,7 +66,7 @@ class Encoder(nn.Module):
                             dtype=self.dtype)(x_seq)
             x_seq = SeqBatchNorm(use_running_average=not train,
                                  dtype=self.dtype)(x_seq)
-            x_seq = LIF(params=p, backend=self.backend)(x_seq)
+            x_seq = LIF(params=p, backend=self.backend)(x_seq, train=train)
         return x_seq
 
 
@@ -94,7 +94,7 @@ class Decoder(nn.Module):
             )(x_seq)
             x_seq = SeqBatchNorm(use_running_average=not train,
                                  dtype=self.dtype)(x_seq)
-            x_seq = LIF(params=p, backend=self.backend)(x_seq)
+            x_seq = LIF(params=p, backend=self.backend)(x_seq, train=train)
         x_seq = SeqConvTranspose(
             self.cfg.in_channels, kernel_size=3, strides=1, padding=1,
             dtype=self.dtype,
@@ -171,7 +171,7 @@ class VectorQuantizer(nn.Module):
         q_seq = direct_encode(q_nhwc, self.cfg.num_steps)
         q_seq = self.asg_conv(q_seq)
         q_seq = self.asg_bn(q_seq, use_running_average=not train)
-        return self.asg_lif(q_seq)
+        return self.asg_lif(q_seq, train=train)
 
     def __call__(
         self, z_seq: jax.Array, train: bool = True

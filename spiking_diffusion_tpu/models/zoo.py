@@ -60,7 +60,7 @@ class SpikingVGG(nn.Module):
             else:
                 h = SeqConv(int(v), 3, 1, 1)(h)
                 h = SeqBatchNorm(use_running_average=not train)(h)
-                h = LIF(params=self.params_lif, backend=self.backend)(h)
+                h = LIF(params=self.params_lif, backend=self.backend)(h, train=train)
         h = h.reshape(h.shape[0], h.shape[1], -1)
         h = SeqLinear(self.num_classes)(h)
         return jnp.mean(h, axis=0)  # rate decode
@@ -78,7 +78,7 @@ class _BasicBlock(nn.Module):
         identity = x_seq
         h = SeqConv(self.features, 3, self.strides, 1, use_bias=False)(x_seq)
         h = SeqBatchNorm(use_running_average=not train)(h)
-        h = LIF(params=self.params_lif, backend=self.backend)(h)
+        h = LIF(params=self.params_lif, backend=self.backend)(h, train=train)
         h = SeqConv(self.features, 3, 1, 1, use_bias=False)(h)
         h = SeqBatchNorm(use_running_average=not train)(h)
 
@@ -89,16 +89,16 @@ class _BasicBlock(nn.Module):
             identity = SeqBatchNorm(use_running_average=not train)(identity)
             if self.sew is not None:
                 identity = LIF(params=self.params_lif, backend=self.backend)(
-                    identity
+                    identity, train=train
                 )
 
         if self.sew is None:
             # spiking_resnet: analog residual add, then spike
             return LIF(params=self.params_lif, backend=self.backend)(
-                h + identity
+                h + identity, train=train
             )
         # SEW: spike both branches, combine element-wise (sew_resnet.py)
-        s = LIF(params=self.params_lif, backend=self.backend)(h)
+        s = LIF(params=self.params_lif, backend=self.backend)(h, train=train)
         if self.sew == "ADD":
             return s + identity
         if self.sew == "AND":
@@ -122,7 +122,7 @@ class SpikingResNet(nn.Module):
     def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
         h = SeqConv(self.width, 3, 1, 1, use_bias=False)(x_seq)
         h = SeqBatchNorm(use_running_average=not train)(h)
-        h = LIF(params=self.params_lif, backend=self.backend)(h)
+        h = LIF(params=self.params_lif, backend=self.backend)(h, train=train)
         feats = self.width
         for i, blocks in enumerate(self.stages):
             for b in range(blocks):
