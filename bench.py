@@ -42,8 +42,8 @@ from spiking_diffusion_tpu.models import diffusion
 # optimistic end. (No published number exists; BASELINE.json.published = {}.)
 _REFERENCE_IMG_PER_SEC = 6.0
 
-BATCH = 256  # per-chip generation batch (the TPU eats the reference's 16)
-N_ITERS = 8
+BATCH = 1024  # per-chip generation batch (the TPU eats the reference's 16)
+N_ITERS = 4
 # measured on v5e: fp32 261 img/s vs bf16 228 img/s at batch 256 — the
 # 7x7-spatial convs are layout/compute-shape dominated, so halving
 # activation bytes does not pay here; fp32 is the faster default.
