@@ -98,6 +98,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="sample grids saved per temperature")
     p.add_argument("--result_dir", default="./result")
     p.add_argument("--sample_dir", default="./sample")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="train stage 1 over an n-device data mesh")
+    p.add_argument("--syops", action="store_true",
+                   help="print the spike-aware op/energy report "
+                        "(the reference's commented-out complexity print, "
+                        "main.py:325-338)")
     return p.parse_args(argv)
 
 
@@ -161,7 +167,25 @@ def main(argv: Optional[List[str]] = None) -> None:
             model, ds.train_images, variance,
             epochs=args.epochs, batch_size=args.batch_size,
             seed=args.seed, epoch_callback=epoch_cb,
+            data_parallel=args.data_parallel,
         )
+
+    if args.syops:
+        from spiking_diffusion_tpu.profiling import syops as syops_mod
+
+        imgs = jnp.asarray(ds.test_images[: args.batch_size] - 0.5)
+        _, per_layer, total = syops_mod.profile_apply(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False,
+        )
+        n_params = syops_mod.count_params(state.params)
+        print(syops_mod.format_report(per_layer, total, n_params))
+        print("{:<30}  {:.3e}".format(
+            "Computational complexity ACs:", total["acs"]))
+        print("{:<30}  {:.3e}".format(
+            "Computational complexity MACs:", total["macs"]))
+        print("{:<30}  {:,}".format("Number of parameters: ", n_params))
 
     # ---- stage 2: diffusion prior ---------------------------------------
     print("prepare data for train diffusion...")

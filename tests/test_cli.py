@@ -48,6 +48,7 @@ def test_cli_end_to_end_tiny(tmp_path, monkeypatch):
         "--lif_backend", "scan",
         "--sample_batches", "2",
         "--grid_batches", "1",
+        "--syops",
         "--result_dir", str(tmp_path / "result"),
         "--sample_dir", str(tmp_path / "sample"),
     ])
