@@ -32,6 +32,21 @@ class LIFConfig:
     surrogate: str = "atan"
     surrogate_alpha: float = 2.0
 
+    def to_params(self):
+        """Build the runtime :class:`~spiking_diffusion_tpu.snn.NeuronParams`."""
+        from spiking_diffusion_tpu.snn.neuron import NeuronParams
+        from spiking_diffusion_tpu.snn.surrogate import get_surrogate
+
+        return NeuronParams(
+            tau=self.tau,
+            v_threshold=self.v_threshold,
+            v_reset=self.v_reset,
+            decay_input=self.decay_input,
+            hard_reset=self.hard_reset,
+            detach_reset=self.detach_reset,
+            surrogate=get_surrogate(self.surrogate, self.surrogate_alpha),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class VQVAEConfig:

@@ -33,15 +33,7 @@ class SpikingDenoiser(nn.Module):
         self, x_tokens: jax.Array, t: jax.Array, train: bool = True
     ) -> jax.Array:
         c = self.cfg
-        p = NeuronParams(
-            tau=c.lif.tau,
-            v_threshold=c.lif.v_threshold,
-            v_reset=c.lif.v_reset,
-            decay_input=c.lif.decay_input,
-            hard_reset=c.lif.hard_reset,
-            detach_reset=c.lif.detach_reset,
-            surrogate=get_surrogate(c.lif.surrogate, c.lif.surrogate_alpha),
-        )
+        p = c.lif.to_params()
         x = x_tokens.astype(jnp.float32)[..., None]  # (N, h, w, 1)
         t_map = jnp.broadcast_to(
             t.astype(jnp.float32)[:, None, None, None], x.shape

@@ -30,15 +30,7 @@ from spiking_diffusion_tpu.snn.temporal import membrane_output, psp
 
 
 def _neuron_params(cfg: VQVAEConfig) -> NeuronParams:
-    return NeuronParams(
-        tau=cfg.lif.tau,
-        v_threshold=cfg.lif.v_threshold,
-        v_reset=cfg.lif.v_reset,
-        decay_input=cfg.lif.decay_input,
-        hard_reset=cfg.lif.hard_reset,
-        detach_reset=cfg.lif.detach_reset,
-        surrogate=get_surrogate(cfg.lif.surrogate, cfg.lif.surrogate_alpha),
-    )
+    return cfg.lif.to_params()
 
 
 class Encoder(nn.Module):
