@@ -7,6 +7,11 @@ conv net (PLIF net from the model zoo), AdamW on rate-decoded logits.
     python examples/classify_mnist.py [--epochs 3] [--data_path DIR]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

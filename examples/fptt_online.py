@@ -7,6 +7,11 @@ timestep inside one jit (no BPTT over the window).
     python examples/fptt_online.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,11 @@
         --n 64 --temperature 0.65 --out samples.png
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

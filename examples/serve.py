@@ -1,0 +1,156 @@
+"""Example: serve Spiking-Diffusion generation over HTTP.
+
+A minimal stdlib-only serving shim around trained checkpoints: one warm
+jitted sampler per process, request batching by rounding up to the
+compiled batch size. GET /generate?n=16&temperature=0.65 returns a PNG
+grid; GET /healthz returns liveness.
+
+    python examples/serve.py --checkpoint result/MNIST/snn-vq-vae --port 8000
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spiking_diffusion_tpu.config import DiffusionConfig, VQVAEConfig
+from spiking_diffusion_tpu.models import SNNVQVAE, SpikingDenoiser, diffusion
+from spiking_diffusion_tpu.train import create_train_state
+from spiking_diffusion_tpu.train.checkpoint import restore_checkpoint
+from spiking_diffusion_tpu.utils.cache import enable_compilation_cache
+
+
+class Generator:
+    """Thread-safe wrapper over one compiled sampler."""
+
+    def __init__(self, checkpoint: str, batch: int, num_steps: int,
+                 codebook: int):
+        enable_compilation_cache()
+        vq_cfg = VQVAEConfig(num_steps=num_steps, num_embeddings=codebook)
+        self.d_cfg = DiffusionConfig(
+            num_embeddings=codebook, mask_id=codebook, num_steps=num_steps
+        )
+        key = jax.random.PRNGKey(0)
+        model = SNNVQVAE(vq_cfg, backend="auto")
+        st = create_train_state(model, jax.jit(
+            lambda k, x: model.init(k, x, train=True)
+        )(key, jnp.zeros((2, 28, 28, 1))))
+        self.state = restore_checkpoint(st, checkpoint, "model")
+        den = SpikingDenoiser(self.d_cfg, backend="auto")
+        dst = create_train_state(den, jax.jit(
+            lambda k: den.init(k, jnp.zeros((2, 7, 7), jnp.int32),
+                               jnp.ones((2,), jnp.int32), train=True)
+        )(key))
+        self.dstate = restore_checkpoint(
+            dst, f"{checkpoint}/diff_result", "diff_model"
+        )
+        self.batch = batch
+        self._lock = threading.Lock()
+        self._key = jax.random.PRNGKey(1234)
+
+        @jax.jit
+        def generate(key, temperature):
+            def denoise(x_t, t):
+                return self.dstate.apply_fn(
+                    {"params": self.dstate.params,
+                     "batch_stats": self.dstate.batch_stats},
+                    x_t, t, train=False,
+                )
+
+            codes = diffusion.sample(
+                key, denoise, self.d_cfg, n_samples=batch,
+                temperature=temperature,
+            )
+            return self.state.apply_fn(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                codes, method="decode_indices",
+            )
+
+        self._generate = generate
+        # warm compile
+        _ = np.asarray(self._generate(self._key, 0.65))
+
+    def sample(self, n: int, temperature: float) -> np.ndarray:
+        with self._lock:
+            self._key, k = jax.random.split(self._key)
+            out = np.asarray(self._generate(k, temperature))
+        return out[:n]
+
+
+def make_handler(gen: Generator):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._json({"status": "ok", "batch": gen.batch})
+                return
+            if url.path != "/generate":
+                self.send_error(404)
+                return
+            q = parse_qs(url.query)
+            try:
+                n = max(1, min(int(q.get("n", ["16"])[0]), gen.batch))
+                temp = float(q.get("temperature", ["0.65"])[0])
+                if not (0.0 < temp <= 10.0):
+                    raise ValueError("temperature out of range")
+            except ValueError as e:
+                self.send_error(400, f"bad parameter: {e}")
+                return
+            images = gen.sample(n, temp)
+            from spiking_diffusion_tpu.utils.grids import _tile, _to_uint8
+
+            grid = _tile(_to_uint8(images), rows=-(-n // 8), cols=8)
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(grid).save(buf, "PNG")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(buf.tell()))
+            self.end_headers()
+            self.wfile.write(buf.getvalue())
+
+        def _json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            print("[serve]", fmt % args)
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--num_steps", type=int, default=16)
+    p.add_argument("--codebook_size", type=int, default=128)
+    args = p.parse_args()
+
+    gen = Generator(args.checkpoint, args.batch, args.num_steps,
+                    args.codebook_size)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(gen))
+    print(f"serving on :{args.port} (batch {args.batch})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
