@@ -226,6 +226,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             denoiser, d_cfg, indices,
             epochs=args.epochs * 2, batch_size=args.batch_size,
             seed=args.seed, epoch_callback=diff_cb,
+            data_parallel=args.data_parallel,
         )
         save_checkpoint(dstate, diff_path, "diff_model")
 

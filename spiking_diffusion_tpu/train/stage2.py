@@ -69,8 +69,13 @@ def train_diffusion(
     log_every: int = 20,
     log_fn: Optional[Callable[[str], None]] = print,
     epoch_callback: Optional[Callable[[int, TrainState], None]] = None,
+    data_parallel: int = 1,
 ) -> TrainState:
-    """Full stage-2 loop over pre-extracted (N, h, w) code grids."""
+    """Full stage-2 loop over pre-extracted (N, h, w) code grids.
+
+    ``data_parallel > 1`` shards the batch over a 1-D device mesh with
+    replicated parameters (same recipe as stage 1).
+    """
     key = jax.random.PRNGKey(seed)
     init_key, key = jax.random.split(key)
     sample = jnp.asarray(indices[:batch_size])
@@ -83,6 +88,16 @@ def train_diffusion(
     )
     step_fn = make_train_step_diffusion(cfg)
 
+    place = lambda b: jnp.asarray(b)
+    if data_parallel > 1:
+        from spiking_diffusion_tpu.parallel import make_mesh, replicate, shard_batch
+
+        if batch_size % data_parallel:
+            raise ValueError("batch_size must divide by data_parallel")
+        mesh = make_mesh(data_parallel)
+        state = replicate(state, mesh)
+        place = lambda b: shard_batch(jnp.asarray(b), mesh)
+
     n = indices.shape[0]
     steps_per_epoch = n // batch_size
     for epoch in range(epochs):
@@ -90,7 +105,7 @@ def train_diffusion(
         order = np.arange(n)
         np.random.RandomState(seed * 7919 + epoch).shuffle(order)
         for i in range(steps_per_epoch):
-            batch = jnp.asarray(indices[order[i * batch_size : (i + 1) * batch_size]])
+            batch = place(indices[order[i * batch_size : (i + 1) * batch_size]])
             key, k = jax.random.split(key)
             state, metrics = step_fn(state, batch, k)
             if log_fn and ((i + 1) % log_every == 0 or i + 1 == steps_per_epoch):

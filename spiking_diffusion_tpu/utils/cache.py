@@ -17,6 +17,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"
     )
+    try:
+        # scope by platform: XLA:CPU AOT artifacts are machine-feature
+        # sensitive and reloading them across hosts warns (or SIGILLs)
+        platform = jax.default_backend()
+    except Exception:
+        platform = "any"
+    cache_dir = os.path.join(cache_dir, platform)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -71,6 +71,22 @@ def test_train_vqvae_data_parallel():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_train_diffusion_data_parallel():
+    from spiking_diffusion_tpu.config import DiffusionConfig
+    from spiking_diffusion_tpu.models import SpikingDenoiser
+    from spiking_diffusion_tpu.train.stage2 import train_diffusion
+
+    dcfg = DiffusionConfig(num_embeddings=8, mask_id=8, num_steps=2,
+                           denoiser_channels=(4, 4, 4, 4, 4))
+    indices = np.random.RandomState(0).randint(0, 8, (32, 7, 7)).astype(np.int32)
+    den = SpikingDenoiser(dcfg, backend="scan")
+    state = train_diffusion(den, dcfg, indices, epochs=1, batch_size=16,
+                            log_fn=None, data_parallel=8)
+    assert int(state.step) == 2
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_train_vqvae_rejects_bad_batch_split():
     from spiking_diffusion_tpu.data import synthetic_dataset
 
