@@ -122,6 +122,30 @@ def profile_apply(model, variables, *args, **kwargs):
     return out, per_layer, totals(per_layer)
 
 
+def profile_dataset(model, variables, batches, *args_fn, **kwargs):
+    """Average syops over a dataloader, the reference's protocol
+    (``syops/engine.py:39-61``: accrue per batch, divide by batch count).
+
+    ``batches`` is an iterable of model inputs (each passed as the first
+    positional arg). Returns (per_layer averaged, totals averaged).
+    """
+    acc: Dict[str, Dict[str, float]] = {}
+    n = 0
+    for batch in batches:
+        _, per_layer, _ = profile_apply(model, variables, batch, **kwargs)
+        for k, e in per_layer.items():
+            slot = acc.setdefault(k, {kk: 0.0 for kk in e})
+            for kk, v in e.items():
+                slot[kk] += v
+        n += 1
+    if n == 0:
+        return {}, totals({})
+    per_layer = {
+        k: {kk: v / n for kk, v in e.items()} for k, e in acc.items()
+    }
+    return per_layer, totals(per_layer)
+
+
 def format_report(
     per_layer: Dict[str, Dict[str, float]],
     total: Dict[str, float],

@@ -95,3 +95,26 @@ def test_train_vqvae_rejects_bad_batch_split():
     with pytest.raises(ValueError):
         train_vqvae(model, ds.train_images, 0.1, epochs=1, batch_size=9,
                     log_fn=None, data_parallel=8)
+
+
+def test_sample_codes_data_parallel():
+    from spiking_diffusion_tpu.config import DiffusionConfig
+    from spiking_diffusion_tpu.models import SpikingDenoiser
+    from spiking_diffusion_tpu.train import create_train_state
+    from spiking_diffusion_tpu.train.stage2 import sample_codes
+
+    dcfg = DiffusionConfig(num_embeddings=8, mask_id=8, num_steps=2,
+                           denoiser_channels=(4, 4, 4, 4, 4))
+    den = SpikingDenoiser(dcfg, backend="scan")
+    x0 = jnp.zeros((2, 7, 7), jnp.int32)
+    t0 = jnp.ones((2,), jnp.int32)
+    variables = den.init(jax.random.PRNGKey(0), x0, t0, train=True)
+    state = create_train_state(den, variables)
+    codes = sample_codes(state, dcfg, jax.random.PRNGKey(1), n_samples=16,
+                         temperature=0.8, data_parallel=8)
+    arr = np.asarray(codes)
+    assert arr.shape == (16, 7, 7)
+    assert (arr == dcfg.mask_id).sum() == 0
+    with pytest.raises(ValueError):
+        sample_codes(state, dcfg, jax.random.PRNGKey(1), n_samples=9,
+                     data_parallel=8)

@@ -97,3 +97,22 @@ def test_benchmark_harness():
     stats = benchmark(f, x, iters=5, warmup=1)
     assert stats["mean_ms"] > 0
     assert stats["calls_per_sec"] > 0
+
+
+def test_profile_dataset_averages():
+    cfg = VQVAEConfig(num_steps=2, embedding_dim=4, num_embeddings=8,
+                      enc_channels=(4, 8), dec_channels=(8, 4))
+    model = SNNVQVAE(cfg, backend="scan")
+    img = jax.random.uniform(jax.random.PRNGKey(0), (2, 28, 28, 1)) - 0.5
+    variables = model.init(jax.random.PRNGKey(1), img, train=True)
+    batches = [img, img + 0.01]
+    per_layer, total = syops.profile_dataset(
+        model, variables, batches, train=False
+    )
+    assert total["ops"] > 0
+    # static op counts identical across batches -> average == single run
+    _, pl1, t1 = syops.profile_apply(model, variables, img, train=False)
+    assert abs(total["ops"] - t1["ops"]) < 1e-3
+    # empty loader degrades gracefully
+    pl0, t0 = syops.profile_dataset(model, variables, [], train=False)
+    assert pl0 == {} and t0["ops"] == 0
