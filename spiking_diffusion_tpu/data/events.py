@@ -25,13 +25,23 @@ def integrate_events_to_frames(
     W: int,
     num_frames: int,
     split_by: str = "time",
+    use_native: bool = True,
 ) -> np.ndarray:
     """(t, x, y, p) event stream -> (num_frames, H, W, 2) count frames.
 
     ``split_by``: 'time' slices the recording into equal-duration bins;
     'number' into equal-event-count bins (parity with the reference's two
-    integrators).
+    integrators). Dispatches to the C++ kernel
+    (:mod:`spiking_diffusion_tpu.native`) when available — np.add.at is a
+    serial scatter and this is the per-sample hot loop of event datasets.
     """
+    if use_native:
+        from spiking_diffusion_tpu import native
+
+        if native.available():
+            return native.integrate_events_to_frames(
+                events, H, W, num_frames, split_by
+            )
     t = np.asarray(events["t"], np.int64)
     x = np.asarray(events["x"], np.int64)
     y = np.asarray(events["y"], np.int64)

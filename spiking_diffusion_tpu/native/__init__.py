@@ -98,7 +98,7 @@ def integrate_events_to_frames(
         )
 
         return np_impl({"t": t, "x": x, "y": y, "p": p}, H, W, num_frames,
-                       split_by)
+                       split_by, use_native=False)
     frames = np.zeros((num_frames, H, W, 2), np.float32)
     fn = (lib.integrate_events_time if split_by == "time"
           else lib.integrate_events_number)

@@ -26,7 +26,8 @@ def test_native_builds():
 @pytest.mark.parametrize("split_by", ["time", "number"])
 def test_integrate_parity_with_numpy(split_by):
     ev = _toy_events()
-    ref = np_events.integrate_events_to_frames(ev, 32, 32, 8, split_by)
+    ref = np_events.integrate_events_to_frames(ev, 32, 32, 8, split_by,
+                                               use_native=False)
     out = native.integrate_events_to_frames(ev, 32, 32, 8, split_by)
     np.testing.assert_array_equal(out, ref)
     assert out.sum() == len(ev["t"])
@@ -75,7 +76,7 @@ def test_native_integration_speed():
     native.integrate_events_to_frames(ev, 128, 128, 16)
     t_native = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np_events.integrate_events_to_frames(ev, 128, 128, 16)
+    np_events.integrate_events_to_frames(ev, 128, 128, 16, use_native=False)
     t_numpy = time.perf_counter() - t0
     if native.available():
         assert t_native < t_numpy * 1.5, (t_native, t_numpy)
