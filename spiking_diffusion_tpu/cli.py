@@ -77,7 +77,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    choices=["MNIST", "KMNIST", "FMNIST", "Letters"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model", default="snn-vq-vae",
-                   choices=["snn-vq-vae", "snn-vae", "vq-vae"])
+                   choices=["snn-vq-vae", "snn-vq-vae-uni", "snn-vae",
+                            "vq-vae"])
     p.add_argument("--data_path", default=None)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--metric", default=None,
@@ -128,8 +129,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     vq_cfg = VQVAEConfig(
         num_steps=args.num_steps,
         num_embeddings=args.codebook_size,
+        # 'snn-vq-vae-uni': the reference's codebook-usage-uniformity
+        # variant, here with a loss that actually works (the original's
+        # FID_loss is constant 0 and its model class is clobbered,
+        # ``vae_model.py:674-879``)
+        usage_loss_weight=0.1 if args.model == "snn-vq-vae-uni" else 0.0,
     )
-    if args.model == "snn-vq-vae":
+    if args.model in ("snn-vq-vae", "snn-vq-vae-uni"):
         model = SNNVQVAE(vq_cfg, backend=args.lif_backend)
     elif args.model == "vq-vae":
         model = ANNVQVAE(vq_cfg)

@@ -58,6 +58,11 @@ class VQVAEConfig:
     embedding_dim: int = 16
     num_embeddings: int = 128
     commitment_cost: float = 0.25
+    # > 0 enables the codebook-usage-uniformity regularizer — the INTENT
+    # of the reference's broken 'snn-vq-vae-uni' variant
+    # (``vae_model.py:674-879``: its FID_loss is returned as constant 0
+    # and the model class is clobbered dead code, SURVEY.md §2a)
+    usage_loss_weight: float = 0.0
     num_steps: int = 16  # T, the SNN time window
     enc_channels: Tuple[int, ...] = (32, 64)
     dec_channels: Tuple[int, ...] = (64, 32)

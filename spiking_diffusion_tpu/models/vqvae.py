@@ -189,6 +189,22 @@ class VectorQuantizer(nn.Module):
         e_latent = jnp.mean((x_bar - sg(quantized)) ** 2)
         loss_1 = q_latent + c.commitment_cost * e_latent
 
+        if c.usage_loss_weight > 0.0:
+            # codebook-usage uniformity: KL(soft usage || uniform) over the
+            # batch's soft assignments — the working version of the
+            # reference's 'uni' experiment (its FID_loss is a constant 0)
+            d = (
+                jnp.sum(flat**2, axis=1, keepdims=True)
+                + jnp.sum(self.embeddings**2, axis=1)
+                - 2.0 * flat @ self.embeddings.T
+            )
+            soft = jax.nn.softmax(-d, axis=1)  # (M, K)
+            usage = jnp.mean(soft, axis=0)  # (K,)
+            kl_uniform = jnp.sum(
+                usage * (jnp.log(usage + 1e-12) + jnp.log(float(c.num_embeddings)))
+            )
+            loss_1 = loss_1 + c.usage_loss_weight * kl_uniform
+
         # straight-through estimator (``vae_model.py:72``)
         quantized = x_bar + sg(quantized - x_bar)
 
