@@ -23,10 +23,24 @@ from spiking_diffusion_tpu.models.vqvae import (
 from spiking_diffusion_tpu.models.denoiser import SpikingDenoiser
 from spiking_diffusion_tpu.models.ann_vqvae import ANNVQVAE
 from spiking_diffusion_tpu.models.snn_vae import SNNVAE
-from spiking_diffusion_tpu.models import diffusion
+from spiking_diffusion_tpu.models import (
+    ann2snn,
+    attention,
+    deploy,
+    diffusion,
+    dropconnect,
+    recurrent,
+    zoo,
+)
 
 __all__ = [
+    "ann2snn",
+    "attention",
+    "deploy",
     "diffusion",
+    "dropconnect",
+    "recurrent",
+    "zoo",
     "LIF",
     "SeqBatchNorm",
     "SeqConv",
