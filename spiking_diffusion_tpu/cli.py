@@ -59,7 +59,6 @@ from spiking_diffusion_tpu.train import (
     train_vqvae,
 )
 from spiking_diffusion_tpu.train.checkpoint import (
-    checkpoint_exists,
     restore_checkpoint,
     save_checkpoint,
 )

@@ -14,7 +14,7 @@ dataset at these integrators).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -17,7 +17,6 @@ the framework therefore ships:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import flax.linen as nn

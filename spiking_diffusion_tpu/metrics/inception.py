@@ -21,7 +21,7 @@ we take [0,1] and normalize internally for convenience.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

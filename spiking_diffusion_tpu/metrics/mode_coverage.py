@@ -8,7 +8,7 @@ histogram (low KL vs uniform) indicates the generator covers all modes.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

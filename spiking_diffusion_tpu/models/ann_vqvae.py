@@ -8,7 +8,7 @@ and a single analog-domain VQ loss.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

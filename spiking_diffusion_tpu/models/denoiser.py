@@ -17,8 +17,6 @@ import jax.numpy as jnp
 from spiking_diffusion_tpu.config import DiffusionConfig
 from spiking_diffusion_tpu.models.layers import LIF, SeqBatchNorm, SeqConv
 from spiking_diffusion_tpu.snn.encoding import direct_encode
-from spiking_diffusion_tpu.snn.neuron import NeuronParams
-from spiking_diffusion_tpu.snn.surrogate import get_surrogate
 
 
 class SpikingDenoiser(nn.Module):

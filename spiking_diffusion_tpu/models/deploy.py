@@ -12,7 +12,6 @@ or Lynxi backend can be written against this format without importing JAX.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Tuple

@@ -10,13 +10,13 @@ functional analogue of wrapping an ``nn.Module``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from spiking_diffusion_tpu.models.layers import SeqBatchNorm, seq_apply
+from spiking_diffusion_tpu.models.layers import seq_apply
 from spiking_diffusion_tpu.snn.neuron import NeuronParams, lif_step
 from spiking_diffusion_tpu.utils.init import torch_bias_init, torch_kernel_init
 

@@ -34,7 +34,6 @@ from spiking_diffusion_tpu.models.layers import (
 from spiking_diffusion_tpu.models.vqvae import Decoder, Encoder
 from spiking_diffusion_tpu.snn.encoding import direct_encode
 from spiking_diffusion_tpu.snn.neuron import NeuronParams, lif_step
-from spiking_diffusion_tpu.snn.surrogate import get_surrogate
 from spiking_diffusion_tpu.snn.temporal import membrane_output, psp
 
 

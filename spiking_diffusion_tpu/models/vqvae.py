@@ -25,7 +25,6 @@ from spiking_diffusion_tpu.models.layers import (
 )
 from spiking_diffusion_tpu.snn.encoding import direct_encode
 from spiking_diffusion_tpu.snn.neuron import NeuronParams
-from spiking_diffusion_tpu.snn.surrogate import get_surrogate
 from spiking_diffusion_tpu.snn.temporal import membrane_output, psp
 
 

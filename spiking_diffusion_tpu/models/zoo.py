@@ -17,8 +17,7 @@ logits as the mean over T. ``train_classifier`` is the
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,7 +33,6 @@ from spiking_diffusion_tpu.models.layers import (
     VotingLayer,
 )
 from spiking_diffusion_tpu.snn.neuron import NeuronParams, plif_scan
-from spiking_diffusion_tpu.snn.temporal import seq_apply
 
 VGG_CFGS = {
     "vgg11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),

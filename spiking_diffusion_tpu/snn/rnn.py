@@ -10,7 +10,6 @@ bidirectional runs a second scan on the time-reversed sequence.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

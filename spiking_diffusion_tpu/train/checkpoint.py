@@ -9,7 +9,6 @@ optimizer state, step), so training resumes exactly.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -8,7 +8,6 @@ with PIL directly (no matplotlib figure machinery needed for raw grids).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 
