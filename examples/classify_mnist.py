@@ -49,8 +49,9 @@ def main():
         return logits.argmax(-1)
 
     preds = []
-    bs = 256
-    for i in range(0, len(ds.test_images) - len(ds.test_images) % bs, bs):
+    bs = min(256, len(ds.test_images))
+    n_eval = len(ds.test_images) - len(ds.test_images) % bs
+    for i in range(0, n_eval, bs):
         preds.append(np.asarray(predict(
             variables, ds.test_images[i : i + bs]
         )))

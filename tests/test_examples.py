@@ -1,0 +1,56 @@
+"""Example-script smoke tests (tiny configurations, slow-marked)."""
+
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(path, argv):
+    old = sys.argv
+    sys.argv = [path] + argv
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.slow
+def test_fptt_example(capsys):
+    _run("examples/fptt_online.py", [])
+    out = capsys.readouterr().out
+    assert "epoch 19" in out
+    losses = [float(l.split()[-1]) for l in out.splitlines() if "loss" in l]
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_classify_example(capsys, monkeypatch):
+    from spiking_diffusion_tpu.data import datasets as dsmod
+
+    orig = dsmod.synthetic_dataset
+    monkeypatch.setattr(
+        dsmod, "synthetic_dataset",
+        lambda name, n_train=2048, n_test=512, **kw: orig(
+            name, n_train=128, n_test=64, num_classes=10),
+    )
+    _run("examples/classify_mnist.py",
+         ["--epochs", "2", "--num_steps", "2", "--channels", "8"])
+    out = capsys.readouterr().out
+    assert "test accuracy" in out
+
+
+@pytest.mark.slow
+def test_dvs_example(capsys):
+    _run("examples/dvs_classify.py", ["--epochs", "5", "--n_per_class", "64"])
+    out = capsys.readouterr().out
+    acc = float(out.splitlines()[-1].split()[2])
+    assert acc > 0.3, out  # clearly above 0.25 chance
+
+
+@pytest.mark.slow
+def test_rl_example(capsys):
+    _run("examples/rl_cartpole_dqn.py", ["--episodes", "12"])
+    out = capsys.readouterr().out
+    assert "mean return" in out
