@@ -124,3 +124,25 @@ def test_qif_eif_izhikevich_scan():
                lambda x: izhikevich_scan(x)[0]):
         g = jax.grad(lambda x: jnp.sum(fn(x) * jnp.arange(1.0, 7.0)[:, None, None]))(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fuse_denoiser_conv_bn_equivalence():
+    from spiking_diffusion_tpu.config import DiffusionConfig
+    from spiking_diffusion_tpu.models import SpikingDenoiser
+
+    cfg = DiffusionConfig(num_embeddings=8, mask_id=8, num_steps=2,
+                          denoiser_channels=(4, 6, 8, 6, 4))
+    den = SpikingDenoiser(cfg, backend="scan")
+    x = jnp.zeros((2, 7, 7), jnp.int32)
+    t = jnp.ones((2,), jnp.int32)
+    variables = den.init(jax.random.PRNGKey(0), x, t, train=True)
+    for _ in range(3):  # non-trivial running stats
+        _, mut = den.apply(variables, x, t, train=True,
+                           mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": mut["batch_stats"]}
+
+    fused = F.fuse_model_conv_bn(variables)
+    ref = den.apply(variables, x, t, train=False)
+    out = den.apply(fused, x, t, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
