@@ -24,6 +24,39 @@ def class_histogram(
     return np.bincount(preds, minlength=num_classes).astype(np.float64)
 
 
+def per_class_grids(
+    feature_fn: FeatureFn,
+    images: np.ndarray,
+    num_classes: int,
+    out_dir: str,
+    max_per_class: int = 32,
+) -> Dict[int, str]:
+    """Save one sample grid per predicted class.
+
+    Parity: ``classify.py:129-156`` — group generated images by the
+    classifier's prediction and write a grid for each class. Returns
+    {class: png_path} for classes with at least one sample.
+    """
+    import os
+
+    from spiking_diffusion_tpu.utils.grids import save_image_grid
+
+    _, probs = feature_fn(images)
+    preds = probs.argmax(axis=1)
+    paths: Dict[int, str] = {}
+    os.makedirs(out_dir, exist_ok=True)
+    for c in range(num_classes):
+        members = images[preds == c][:max_per_class]
+        if len(members) == 0:
+            continue
+        rows = max(1, -(-len(members) // 8))
+        path = os.path.join(out_dir, f"class_{c}.png")
+        # images arrive in [0, 1]; grid saver expects [-0.5, 0.5]
+        save_image_grid(members - 0.5, path, rows=rows, cols=8)
+        paths[c] = path
+    return paths
+
+
 def mode_coverage_kl(
     feature_fn: FeatureFn, images: np.ndarray, num_classes: int
 ) -> Dict[str, object]:

@@ -123,3 +123,21 @@ def test_mode_coverage():
     out2 = mode_coverage_kl(collapsed_fn, np.zeros((100, 28, 28, 1)), 4)
     assert out2["covered_modes"] == 1
     assert out2["kl"] > 1.0
+
+
+def test_per_class_grids(tmp_path):
+    from spiking_diffusion_tpu.metrics.mode_coverage import per_class_grids
+
+    def fake_fn(images):
+        n = len(images)
+        probs = np.zeros((n, 4))
+        probs[np.arange(n), np.arange(n) % 4] = 1.0
+        return np.zeros((n, 8)), probs
+
+    imgs = np.random.RandomState(0).rand(20, 28, 28, 1).astype(np.float32)
+    paths = per_class_grids(fake_fn, imgs, 4, str(tmp_path))
+    assert set(paths) == {0, 1, 2, 3}
+    import os
+
+    for p in paths.values():
+        assert os.path.exists(p)
