@@ -53,3 +53,34 @@ def test_cli_ann_vqvae_branch(tmp_path, tiny_data, monkeypatch):
     )
     assert "0.8" in metrics
     assert np.isfinite(metrics["0.8"]["FID"])
+
+
+@pytest.mark.slow
+def test_cli_ready_path(tmp_path, tiny_data, monkeypatch):
+    """--ready: skip stage-1 training, start stage 2 from a checkpoint
+    (reference main.py:122-123,203-206)."""
+    monkeypatch.setattr(cli, "TEMPERATURES", [0.8])
+    common = [
+        "--dataset_name", "MNIST", "--model", "snn-vq-vae",
+        "--num_steps", "2", "--codebook_size", "8",
+        "--batch_size", "16", "--lif_backend", "scan",
+        "--sample_batches", "1", "--grid_batches", "1",
+    ]
+    cli.main(common + [
+        "--epochs", "1",
+        "--result_dir", str(tmp_path / "r1"),
+        "--sample_dir", str(tmp_path / "s1"),
+    ])
+    ckpt = tmp_path / "r1" / "MNIST" / "snn-vq-vae"
+    assert (ckpt / "model").is_dir()
+
+    cli.main(common + [
+        "--epochs", "1",
+        "--ready", str(ckpt),
+        "--result_dir", str(tmp_path / "r2"),
+        "--sample_dir", str(tmp_path / "s2"),
+    ])
+    # stage 2 trained + evaluated without stage-1 training
+    assert (tmp_path / "r2" / "MNIST" / "snn-vq-vae" / "diff_result"
+            / "diff_model").is_dir()
+    assert (tmp_path / "s2" / "MNIST" / "snn-vq-vae" / "metrics.json").exists()
