@@ -288,9 +288,6 @@ def _eval_recon(args, model, state, ds):
 
 def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     """Temperature sweep: grids + metric batches (``main.py:377-529``)."""
-    if args.metric == "MODE" or args.metric is None:
-        pass  # mode coverage computed below alongside
-
     # train the metric feature extractor on the real data
     print("training LeNet feature extractor for metrics...")
     lenet, lenet_params = train_lenet(

@@ -119,6 +119,11 @@ def decode_idx_batch(images_u8: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """
     lib = _build_and_load()
     idx = np.ascontiguousarray(indices, np.int64)
+    n_images = images_u8.shape[0]
+    if idx.size and (idx.min() < 0 or idx.max() >= n_images):
+        raise IndexError(
+            f"decode_idx_batch: index out of range [0, {n_images})"
+        )
     if lib is None:
         return images_u8[idx].astype(np.float32) / 255.0
     imgs = np.ascontiguousarray(images_u8)

@@ -57,7 +57,7 @@ def fptt_online_training(
         def total_loss(pp):
             new_state, y = cell_apply(pp, state, x_t)
             reg = sum(
-                jnp.mean((w - aw) ** 2)
+                jnp.sum((w - aw) ** 2)
                 for w, aw in zip(jax.tree.leaves(pp), jax.tree.leaves(anchor))
             )
             return f_loss(y, tgt_t) + 0.5 * alpha * reg, new_state

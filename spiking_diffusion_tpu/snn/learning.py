@@ -7,8 +7,8 @@ implements these as monitors hooked onto stateful layers; here they are
 pure functions over explicit trace state, scanned over the spike trains —
 the whole update is one jit with no hooks.
 
-    trace_pre[t]  = trace_pre[t-1]  * exp(-1/tau_pre)  + s_pre[t]
-    trace_post[t] = trace_post[t-1] * exp(-1/tau_post) + s_post[t]
+    trace_pre[t]  = trace_pre[t-1]  * (1 - 1/tau_pre)  + s_pre[t]
+    trace_post[t] = trace_post[t-1] * (1 - 1/tau_post) + s_post[t]
     dw[t] = f_post(w) * outer(s_post[t], trace_pre[t])     (potentiation)
           - f_pre(w)  * outer(trace_post[t], s_pre[t])^T   (depression)
 """

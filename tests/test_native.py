@@ -51,6 +51,16 @@ def test_decode_idx_batch_parity():
     assert out.dtype == np.float32
 
 
+def test_decode_idx_batch_bounds_checked():
+    """Out-of-range indices must raise on BOTH paths (the native kernel
+    would otherwise read out of bounds)."""
+    imgs = np.zeros((5, 4, 4, 1), np.uint8)
+    with pytest.raises(IndexError):
+        native.decode_idx_batch(imgs, np.array([0, 5]))
+    with pytest.raises(IndexError):
+        native.decode_idx_batch(imgs, np.array([-1]))
+
+
 def test_native_bitpack_roundtrip():
     rng = np.random.RandomState(2)
     s = (rng.rand(3, 41) < 0.3).astype(np.float32)
