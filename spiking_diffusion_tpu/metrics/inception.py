@@ -12,11 +12,17 @@ Pretrained weights cannot be downloaded in this environment (zero egress).
 metric numbers are directly comparable to the reference's. Without it the
 LeNet feature space (metrics/features.py) is the default.
 
-Input contract (matches the reference preprocessing, ``Fid_score.py:175-223``):
-(N, 299, 299, 3) float in [0, 1]; the torchvision normalization
-(x - 0.5) / 0.5 is applied inside ``__call__`` like torchvision's
-``transform_input=False`` default pipeline expects the caller to do — here
-we take [0,1] and normalize internally for convenience.
+Input contracts (both reference metric paths are reproduced EXACTLY):
+
+- FID (``Fid_score.py:36-64``): ``inception_v3(pretrained=True)`` — which
+  in torchvision implies ``transform_input=True`` — fed ``x * 2 - 1`` of
+  [0,1] images. Use ``__call__(x_pm1, transform_input=True)``.
+- IS (``IS_score.py:37``, ``main.py:450-457``): ``transform_input=False``
+  fed raw [0,1] images (uint8/255 — no further normalization despite the
+  docstring there claiming [-1,1]). Use ``__call__(x_01)``.
+
+``inception_feature_fn`` runs both pipelines so FID features and IS probs
+are each paper-comparable by construction.
 """
 
 from __future__ import annotations
@@ -130,14 +136,27 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3(nn.Module):
-    """Torchvision-topology InceptionV3; returns (features_2048, logits)."""
+    """Torchvision-topology InceptionV3; returns (features_2048, logits).
+
+    ``x`` is fed to the stem as-is (match the caller's normalization to the
+    reference path being reproduced — see module docstring). With
+    ``transform_input=True`` torchvision's per-channel ImageNet rescale is
+    applied first (what ``inception_v3(pretrained=True)`` does by default,
+    hence what the reference FID uses).
+    """
 
     num_classes: int = 1000
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
-        # x: (N, 299, 299, 3) in [0, 1] -> [-1, 1]
-        x = (x - 0.5) * 2.0
+    def __call__(
+        self, x: jax.Array, train: bool = False, transform_input: bool = False
+    ):
+        if transform_input:
+            # torchvision Inception3._transform_input (expects x in [-1, 1])
+            ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+            ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+            ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+            x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
         x = BasicConv2d(32, (3, 3), (2, 2), name="Conv2d_1a_3x3")(x, train)
         x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
         x = BasicConv2d(64, (3, 3), padding=_pad((1, 1)), name="Conv2d_2b_3x3")(x, train)
@@ -194,8 +213,13 @@ def convert_torchvision_state_dict(state_dict) -> Dict[str, np.ndarray]:
 
 def load_torch_weights_npz(npz_path: str, num_classes: int = 1000):
     """Build (model, variables) from a converted-weights .npz."""
+    return load_converted_weights(np.load(npz_path), num_classes)
+
+
+def load_converted_weights(data, num_classes: int = 1000):
+    """Build (model, variables) from a converted flat mapping
+    (:func:`convert_torchvision_state_dict` output or a loaded npz)."""
     model = InceptionV3(num_classes=num_classes)
-    data = np.load(npz_path)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
     )
@@ -208,7 +232,9 @@ def load_torch_weights_npz(npz_path: str, num_classes: int = 1000):
         )
 
     params, stats = to_mutable(params), to_mutable(stats)
-    for key in data.files:
+    keys = data.files if hasattr(data, "files") else data.keys()
+    loaded = set()
+    for key in keys:
         parts = key.replace(".", "/").split("/")
         leaf = parts[-1]
         tree = stats if leaf in ("mean", "var") else params
@@ -218,6 +244,20 @@ def load_torch_weights_npz(npz_path: str, num_classes: int = 1000):
         expected = node[leaf].shape
         assert data[key].shape == tuple(expected), (key, data[key].shape, expected)
         node[leaf] = jnp.asarray(data[key])
+        loaded.add("/".join(parts))
+    # every model leaf must have been replaced — a converter key-schema
+    # drift (renamed block, missed BN stat) fails loudly instead of
+    # silently keeping random-init weights
+    expected_keys = set()
+    for tree, leaves in ((params, ("kernel", "scale", "bias")),
+                         (stats, ("mean", "var"))):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path, _ in flat:
+            name = "/".join(getattr(p, "key", str(p)) for p in path)
+            if name.rsplit("/", 1)[-1] in leaves:
+                expected_keys.add(name)
+    missing = expected_keys - loaded
+    assert not missing, f"converter left {len(missing)} leaves unset: {sorted(missing)[:5]}"
     return model, {"params": params, "batch_stats": stats}
 
 
@@ -245,11 +285,19 @@ def resize_for_inception(
 
 
 def inception_feature_fn(model: InceptionV3, variables, batch_size: int = 64):
-    """Wrap as a metrics FeatureFn: images -> (2048-d feats, class probs)."""
+    """Wrap as a metrics FeatureFn: images -> (2048-d feats, class probs).
+
+    Reproduces BOTH reference pipelines exactly (two passes):
+    - feats: ``x*2-1`` + ``transform_input=True``  (FID, ``Fid_score.py:55``)
+    - probs: raw [0,1] + ``transform_input=False`` (IS, ``IS_score.py:37``)
+    """
 
     @jax.jit
     def fwd(x):
-        feats, logits = model.apply(variables, x, train=False)
+        feats, _ = model.apply(
+            variables, x * 2.0 - 1.0, train=False, transform_input=True
+        )
+        _, logits = model.apply(variables, x, train=False)
         return feats, jax.nn.softmax(logits, axis=-1)
 
     def fn(images: np.ndarray):
