@@ -209,12 +209,20 @@ class VectorQuantizer(nn.Module):
 
         spikes = self.respike(quantized, train=True)
 
-        # PSP spike-train-domain loss (``vae_model.py:81-83``)
-        psp_q = psp(spikes, c.psp_tau_s)
-        psp_z = psp(z_seq, c.psp_tau_s)
-        q_latent_2 = jnp.mean((psp_q - sg(psp_z)) ** 2)
-        e_latent_2 = jnp.mean((sg(psp_q) - psp_z) ** 2)
-        loss_2 = q_latent_2 + c.commitment_cost * e_latent_2
+        # PSP spike-train-domain loss (``vae_model.py:81-83``), restructured:
+        # PSP is a LINEAR filter, so
+        #   mean((psp(q) - sg(psp(z)))^2) == mean(psp(q - sg(z))^2)
+        # and the commitment pair q_latent_2 + beta*e_latent_2 shares one
+        # forward value v = mean(psp(q - z)^2) with gradient coefficient 1
+        # toward the spikes and beta toward z. Scaling z's *gradient* by
+        # beta inside the difference reproduces both terms from a single
+        # PSP pass over the difference train — instead of materializing
+        # and filtering two full (T, N, h, w, D) PSP trains.
+        # (Value+grad equality vs the naive form: tests/test_vq.py.)
+        beta = c.commitment_cost
+        d_seq = spikes - (beta * z_seq + (1.0 - beta) * sg(z_seq))
+        v = jnp.mean(psp(d_seq, c.psp_tau_s) ** 2)
+        loss_2 = v + sg(beta * v)
 
         return spikes, loss_1 + loss_2
 

@@ -258,22 +258,28 @@ def lif_multi_step(
 ) -> jax.Array:
     """Multi-step LIF forward, backend-dispatched; returns the spike train.
 
-    ``backend``: 'scan' (pure lax.scan), 'pallas' (fused TPU kernel), or
-    'auto'. Mirrors spikingjelly's torch-vs-cupy backend switch
-    (``neuron.py:930-967``), with the scan path as the parity oracle.
+    ``backend``: 'scan' (pure lax.scan, the parity oracle), 'unroll'
+    (statically unrolled elementwise ops + recompute VJP — the TPU fast
+    path), 'pallas' (fused Pallas kernel), or 'auto'. Mirrors
+    spikingjelly's torch-vs-cupy backend switch (``neuron.py:930-967``).
 
-    'auto' is train-aware (measured on v5e, batch 256, T=16): the fused
-    Pallas BPTT path wins training by 1.69x (63.4 vs 107.1 ms/step), but
-    for inference-only forwards XLA's fused scan is ~1.5x faster than the
-    pallas_call round-trip (denoiser fwd 12.2 vs 18.0 ms) — so 'auto'
-    picks pallas when training on TPU and scan otherwise.
+    'auto' picks 'unroll' on TPU: measured on v5e (batch 256, T=16) the
+    unrolled path trains at 32.5 ms/step vs 63.8 (pallas) / 132 (scan) —
+    being layout-free, it fuses with the neighboring conv/BN ops in XLA's
+    preferred batch-minor layouts instead of paying layout-transpose
+    copies around every pallas_call (see ops/unrolled_lif.py). On CPU the
+    scan path keeps compile time small.
     """
     if backend == "auto":
-        backend = "pallas" if (train and _pallas_ok(params)) else "scan"
+        backend = "unroll" if _pallas_ok(params) else "scan"
     if backend == "pallas":
         from spiking_diffusion_tpu.ops import pallas_lif
 
         return pallas_lif.lif_fused(x_seq, v_init=v_init, params=params)
+    if backend == "unroll":
+        from spiking_diffusion_tpu.ops import unrolled_lif
+
+        return unrolled_lif.lif_unrolled(x_seq, v_init=v_init, params=params)
     s_seq, _ = lif_scan(x_seq, v_init=v_init, params=params)
     return s_seq
 

@@ -106,6 +106,40 @@ def test_codebook_receives_gradient_via_q_latent_loss():
     assert np.abs(np.asarray(g["embeddings"])).sum() > 0
 
 
+def test_psp_loss_restructuring_matches_naive_form():
+    """The single-pass PSP commitment loss must equal the reference's
+    two-PSP-train formulation (``vae_model.py:81-83``) in value AND in
+    gradients toward both the spike train and the encoder output."""
+    from spiking_diffusion_tpu.snn.temporal import psp
+
+    sg = jax.lax.stop_gradient
+    beta = CFG.commitment_cost
+    tau = CFG.psp_tau_s
+    rng = np.random.RandomState(7)
+    spikes = jnp.asarray(
+        (rng.rand(CFG.num_steps, 2, 3, 3, CFG.embedding_dim) < 0.4)
+        .astype(np.float32))
+    z = jnp.asarray(
+        (rng.rand(CFG.num_steps, 2, 3, 3, CFG.embedding_dim) < 0.3)
+        .astype(np.float32))
+
+    def naive(spikes, z):
+        pq, pz = psp(spikes, tau), psp(z, tau)
+        return jnp.mean((pq - sg(pz)) ** 2) + beta * jnp.mean(
+            (sg(pq) - pz) ** 2)
+
+    def restructured(spikes, z):
+        d = spikes - (beta * z + (1.0 - beta) * sg(z))
+        v = jnp.mean(psp(d, tau) ** 2)
+        return v + sg(beta * v)
+
+    v1, (gs1, gz1) = jax.value_and_grad(naive, argnums=(0, 1))(spikes, z)
+    v2, (gs2, gz2) = jax.value_and_grad(restructured, argnums=(0, 1))(spikes, z)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gz1), np.asarray(gz2), atol=1e-7)
+
+
 def test_usage_uniformity_loss():
     # the working version of the reference's 'snn-vq-vae-uni' intent:
     # enabling the regularizer increases the loss when codebook usage is
