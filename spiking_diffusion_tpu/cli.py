@@ -73,7 +73,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--checkpoint", default=None,
                    help="result dir of a trained run to evaluate")
     p.add_argument("--dataset_name", default="MNIST",
-                   choices=["MNIST", "KMNIST", "FMNIST", "Letters"])
+                   choices=["MNIST", "KMNIST", "FMNIST", "Letters",
+                            "CIFAR10", "CIFAR10-BW"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--model", default="snn-vq-vae",
                    choices=["snn-vq-vae", "snn-vq-vae-uni", "snn-vae",
@@ -91,7 +92,7 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--num_steps", type=int, default=16, help="SNN T")
     p.add_argument("--lif_backend", default="auto",
-                   choices=["auto", "scan", "pallas"])
+                   choices=["auto", "scan", "pallas", "unroll"])
     p.add_argument("--sample_batches", type=int, default=80,
                    help="16-image batches per temperature for metrics")
     p.add_argument("--grid_batches", type=int, default=4,
@@ -128,6 +129,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     vq_cfg = VQVAEConfig(
         num_steps=args.num_steps,
         num_embeddings=args.codebook_size,
+        in_channels=int(ds.train_images.shape[-1]),  # 3 for CIFAR10
         # 'snn-vq-vae-uni': the reference's codebook-usage-uniformity
         # variant, here with a loss that actually works (the original's
         # FID_loss is constant 0 and its model class is clobbered,

@@ -170,9 +170,26 @@ def load_dataset(
     synthetic_ok: bool = True,
     synthetic_size: Tuple[int, int] = (2048, 512),
 ) -> Dataset:
-    """Load a dataset by reference CLI name: MNIST|FMNIST|KMNIST|Letters."""
+    """Load a dataset by reference CLI name:
+    MNIST|FMNIST|KMNIST|Letters|CIFAR10|CIFAR10-BW.
+
+    The reference's CLI only wires the four MNIST-family sets
+    (``main.py:71-86``) even though the paper's table includes a CIFAR10
+    row (``Readme.md:5``); here CIFAR10(-BW) is reachable too
+    (``load_dataset_snn.py:69-94,209-237``).
+    """
+    if name in ("CIFAR10", "CIFAR10-BW"):
+        from spiking_diffusion_tpu.data.extra_datasets import load_cifar10
+
+        return load_cifar10(
+            data_path, grayscale=(name == "CIFAR10-BW"),
+            synthetic_ok=synthetic_ok,
+        )
     if name not in _IDX_FILES:
-        raise ValueError(f"unknown dataset {name!r}; have {sorted(_IDX_FILES)}")
+        raise ValueError(
+            f"unknown dataset {name!r}; have "
+            f"{sorted(_IDX_FILES) + ['CIFAR10', 'CIFAR10-BW']}"
+        )
     if data_path:
         ds = _load_idx_dataset(data_path, name)
         if ds is not None:

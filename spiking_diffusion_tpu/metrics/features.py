@@ -79,7 +79,7 @@ def train_lenet(
     """
     model = LeNet(num_classes=num_classes)
     key = jax.random.PRNGKey(seed)
-    params = model.init(key, jnp.zeros((1, 28, 28, 1)))["params"]
+    params = model.init(key, jnp.zeros((1,) + images.shape[1:]))["params"]
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 

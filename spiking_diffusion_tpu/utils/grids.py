@@ -13,17 +13,22 @@ import numpy as np
 
 
 def _to_uint8(images: np.ndarray) -> np.ndarray:
-    """(N, H, W, 1) in [-0.5, 0.5] -> (N, H, W) uint8 (``main.py:180``)."""
+    """(N, H, W, C) in [-0.5, 0.5] -> (N, H, W[, 3]) uint8 (``main.py:180``).
+
+    Single-channel images drop the channel axis (grayscale PNG); RGB images
+    (CIFAR10/CelebA paths) keep it.
+    """
     x = np.asarray(images)
-    if x.ndim == 4:
+    if x.ndim == 4 and x.shape[-1] == 1:
         x = x[..., 0]
     return (np.clip(x + 0.5, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def _tile(images: np.ndarray, rows: int, cols: int, pad: int = 2) -> np.ndarray:
-    n, h, w = images.shape
+    n, h, w = images.shape[:3]
+    extra = images.shape[3:]  # () grayscale or (3,) RGB
     grid = np.full(
-        (rows * (h + pad) - pad, cols * (w + pad) - pad), 255, np.uint8
+        (rows * (h + pad) - pad, cols * (w + pad) - pad) + extra, 255, np.uint8
     )
     for i in range(min(n, rows * cols)):
         r, c = divmod(i, cols)
@@ -43,7 +48,7 @@ def save_image_grid(
     from PIL import Image
 
     arr = np.asarray(images) if already_uint8 else _to_uint8(images)
-    if arr.ndim == 4:
+    if arr.ndim == 4 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     grid = _tile(arr, rows, cols)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -70,7 +75,7 @@ def save_recon_grid(
     pad = 2
     h = sum(r.shape[0] for r in rows) + pad * (len(rows) - 1)
     w = max(r.shape[1] for r in rows)
-    canvas = np.full((h, w), 255, np.uint8)
+    canvas = np.full((h, w) + rows[0].shape[2:], 255, np.uint8)
     y = 0
     for r in rows:
         canvas[y : y + r.shape[0], : r.shape[1]] = r
