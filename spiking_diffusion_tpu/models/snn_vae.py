@@ -16,6 +16,14 @@ posterior/prior MLPs are causal (Linear+LIF) so the whole autoregression
 is ONE ``lax.scan`` over T carrying the per-layer membranes and z_{t-1}:
 mathematically the intended q(z_t | x_<=t, z_<t) factorization, at O(T)
 cost, with no cross-call state pollution.
+
+Cross-checked against the actual torch reference
+(tests/test_snn_vae_reference_parity.py): on identical weights the prior
+eval path and the posterior (same injected k-choice indices) match BIT
+EXACTLY — the membrane carryover demonstrably persists (mean |v| ~0.1
+between calls) but is sub-threshold at realistic inits (leak tau=2 +
+sparse firing), so the reference's polluted forward and this clean scan
+produce identical spikes.
 """
 
 from __future__ import annotations
