@@ -60,11 +60,14 @@ _PEAK_HBM = 819e9  # v5e HBM bytes/sec
 
 BATCH = 1024  # per-chip generation batch (the TPU eats the reference's 16)
 N_ITERS = 4
-# measured on v5e: fp32 261 img/s vs bf16 228 img/s at batch 256 — the
-# 7x7-spatial convs are layout/compute-shape dominated, so halving
-# activation bytes does not pay here; fp32 is the faster default.
-# (bf16 remains available via SNNVQVAE/SpikingDenoiser dtype=... .)
-DTYPE = None  # fp32
+# measured on v5e with the unroll LIF backend: bf16 396 vs fp32 334 img/s
+# at batch 1024 (batch 2048 is slower for both — 1024 is the sweet spot).
+# Under the old pallas path bf16 lost (layout copies dominated); with the
+# layout-free unrolled LIF the conv work is the bottleneck and halving
+# activation bytes pays. Membranes stay fp32 in-kernel (CLAUDE.md rule).
+import jax.numpy as _jnp
+
+DTYPE = _jnp.bfloat16
 
 
 def build(dtype=DTYPE):

@@ -39,15 +39,21 @@ class SpikingDenoiser(nn.Module):
         x = jnp.concatenate([x, t_map], axis=-1)  # (N, h, w, 2)
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x_seq = direct_encode(x, c.num_steps)  # (T, N, h, w, 2)
+        # direct coding: the T axis is a pure repeat (``vq_diffusion.py:198``)
+        # so the FIRST Conv+BN runs once on a length-1 time axis and is
+        # broadcast into the LIF — identical math (BN stats over T*N of
+        # repeats equal stats over N) at 1/T of the first block's conv work
+        x_seq = direct_encode(x, 1)  # (1, N, h, w, 2)
 
         feats = []
         h = x_seq
-        for ch in c.denoiser_channels:
+        for i, ch in enumerate(c.denoiser_channels):
             h = SeqConv(ch, kernel_size=3, strides=1, padding=1,
                         dtype=self.dtype)(h)
             h = SeqBatchNorm(use_running_average=not train,
                              dtype=self.dtype)(h)
+            if i == 0:
+                h = jnp.broadcast_to(h, (c.num_steps,) + h.shape[1:])
             h = LIF(params=p, backend=self.backend)(h, train=train)
             feats.append(h)
 

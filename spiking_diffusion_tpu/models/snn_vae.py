@@ -261,7 +261,8 @@ class SNNVAE(nn.Module):
     def encode(self, image: jax.Array, key: jax.Array, train: bool,
                p_scheduled: float):
         x_seq = direct_encode(image, self.cfg.num_steps)
-        z_seq = self.encoder(x_seq, train=train)  # (T,N,7,7,16)
+        z_seq = self.encoder(x_seq, train=train,
+                             first_replicated=True)  # (T,N,7,7,16)
         t, n = z_seq.shape[:2]
         flat = z_seq.reshape(t, n, -1)  # (T,N,784)
 

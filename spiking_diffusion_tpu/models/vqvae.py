@@ -43,21 +43,36 @@ class Encoder(nn.Module):
     dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 for inference
 
     @nn.compact
-    def __call__(self, x_seq: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x_seq: jax.Array,
+        train: bool = True,
+        first_replicated: bool = False,
+    ) -> jax.Array:
+        """``first_replicated=True`` promises the T axis of ``x_seq`` is a
+        pure repeat (direct coding, ``main.py:133``): the first Conv+BN is
+        then computed ONCE on a length-1 time axis and broadcast before the
+        LIF — mathematically identical (BN statistics over T*N of repeated
+        values equal those over N) at 1/T of the first layer's work. The
+        syops counters report the ops actually executed."""
         p = _neuron_params(self.cfg)
         c1, c2 = self.cfg.enc_channels
         if self.dtype is not None:
             x_seq = x_seq.astype(self.dtype)
-        for feats, k, s, pad in (
+        t_steps = x_seq.shape[0]
+        for i, (feats, k, s, pad) in enumerate((
             (c1, 3, 2, 1),
             (c2, 3, 2, 1),
             (self.cfg.embedding_dim, 1, 1, 0),
-        ):
-            x_seq = SeqConv(feats, kernel_size=k, strides=s, padding=pad,
-                            dtype=self.dtype)(x_seq)
-            x_seq = SeqBatchNorm(use_running_average=not train,
-                                 dtype=self.dtype)(x_seq)
-            x_seq = LIF(params=p, backend=self.backend)(x_seq, train=train)
+        )):
+            h = x_seq[:1] if (i == 0 and first_replicated) else x_seq
+            h = SeqConv(feats, kernel_size=k, strides=s, padding=pad,
+                        dtype=self.dtype)(h)
+            h = SeqBatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(h)
+            if i == 0 and first_replicated:
+                h = jnp.broadcast_to(h, (t_steps,) + h.shape[1:])
+            x_seq = LIF(params=p, backend=self.backend)(h, train=train)
         return x_seq
 
 
@@ -157,11 +172,15 @@ class VectorQuantizer(nn.Module):
     def respike(self, q_nhwc: jax.Array, train: bool) -> jax.Array:
         """Adaptive spike generator: analog (N,H,W,D) -> (T,N,H,W,D) spikes.
 
-        Parity: the ``poisson`` block, ``vae_model.py:34-38,77-79``.
-        """
-        q_seq = direct_encode(q_nhwc, self.cfg.num_steps)
+        Parity: the ``poisson`` block, ``vae_model.py:34-38,77-79``. The
+        input is direct-coded (identical across T), so Conv+BN run once on
+        a length-1 time axis and broadcast into the LIF (see Encoder)."""
+        q_seq = direct_encode(q_nhwc, 1)
         q_seq = self.asg_conv(q_seq)
         q_seq = self.asg_bn(q_seq, use_running_average=not train)
+        q_seq = jnp.broadcast_to(
+            q_seq, (self.cfg.num_steps,) + q_seq.shape[1:]
+        )
         return self.asg_lif(q_seq, train=train)
 
     def __call__(
@@ -248,7 +267,7 @@ class SNNVQVAE(nn.Module):
         self, image: jax.Array, train: bool = True, data_variance: float = 1.0
     ) -> Dict[str, jax.Array]:
         x_seq = direct_encode(image, self.cfg.num_steps)
-        z_seq = self.encoder(x_seq, train=train)
+        z_seq = self.encoder(x_seq, train=train, first_replicated=True)
 
         if not train:
             e_seq, indices = self.vq_layer(z_seq, train=False)
@@ -275,7 +294,7 @@ class SNNVQVAE(nn.Module):
         Parity: ``vq_diffusion.py:23-36`` (eval forward, reshape(B,7,7)).
         """
         x_seq = direct_encode(image, self.cfg.num_steps)
-        z_seq = self.encoder(x_seq, train=False)
+        z_seq = self.encoder(x_seq, train=False, first_replicated=True)
         x_bar = self.vq_layer.readout(z_seq)
         flat = x_bar.reshape(-1, self.cfg.embedding_dim)
         indices = self.vq_layer.get_code_indices(flat)
