@@ -101,6 +101,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--sample_dir", default="./sample")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="train stage 1 over an n-device data mesh")
+    p.add_argument("--synthetic_train", type=int, default=2048,
+                   help="synthetic-fallback train set size (no IDX files)")
+    p.add_argument("--synthetic_test", type=int, default=512,
+                   help="synthetic-fallback test set size")
     p.add_argument("--syops", action="store_true",
                    help="print the spike-aware op/energy report "
                         "(the reference's commented-out complexity print, "
@@ -121,7 +125,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     sample_path = os.path.join(args.sample_dir, args.dataset_name, args.model)
     os.makedirs(sample_path, exist_ok=True)
 
-    ds = load_dataset(args.dataset_name, args.data_path)
+    ds = load_dataset(
+        args.dataset_name, args.data_path,
+        synthetic_size=(args.synthetic_train, args.synthetic_test),
+    )
     print(f"load data: {args.dataset_name}! "
           f"(synthetic={ds.synthetic}, train={ds.train_images.shape})")
     variance = data_variance(ds.train_images)
