@@ -10,5 +10,6 @@ XLA's job here: ``pl.pallas_call`` grid/BlockSpec plays the role of
 """
 
 from spiking_diffusion_tpu.ops.pallas_lif import lif_fused
+from spiking_diffusion_tpu.ops.unrolled_lif import lif_unrolled
 
-__all__ = ["lif_fused"]
+__all__ = ["lif_fused", "lif_unrolled"]

@@ -46,8 +46,7 @@ def make_train_step_vqvae(
         }
         return loss, aux
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, images: jax.Array):
+    def train_step_body(state: TrainState, images: jax.Array):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(
             state.params, state.batch_stats, state.apply_fn, images
@@ -56,6 +55,31 @@ def make_train_step_vqvae(
             grads, new_batch_stats=aux.pop("batch_stats")
         )
         return new_state, aux
+
+    return jax.jit(
+        train_step_body, donate_argnums=(0,) if donate else ()
+    )
+
+
+def make_train_step_vqvae_indexed(
+    data_variance: float, donate: bool = True
+) -> Callable:
+    """Device-resident-dataset variant: (state, data, idx) -> (state, metrics).
+
+    ``data`` is the WHOLE [0,1] training set living on device; ``idx`` is
+    the (B,) int32 batch selection. The gather and the -0.5 shift happen
+    on device, so the host->device traffic per step is ~4*B bytes instead
+    of the full batch — essential on this environment's tunnel-attached
+    TPU (~35 MB/s host copies: a 256x28x28 batch costs ~23 ms to ship,
+    dwarfing the 30 ms step itself).
+    """
+    step = make_train_step_vqvae(data_variance, donate=False)
+    body = step.__wrapped__  # the unjitted step body
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, data: jax.Array, idx: jax.Array):
+        batch = jnp.take(data, idx, axis=0) - 0.5
+        return body(state, batch)
 
     return train_step
 
@@ -130,10 +154,17 @@ def train_vqvae(
     state = create_train_state(
         model, variables, learning_rate=learning_rate, weight_decay=weight_decay
     )
-    step_fn = make_train_step_vqvae(data_variance)
 
-    place = lambda b: jnp.asarray(b)
-    if data_parallel > 1:
+    # Device-resident dataset fast path (single-device): ship the whole
+    # training set once and gather batches on device — the tunnel-attached
+    # TPU copies hosts->device at ~35 MB/s, so per-step batch shipping
+    # would triple the step time. DP keeps the host-sharding path.
+    device_resident = data_parallel <= 1
+    if device_resident:
+        data_dev = jnp.asarray(images, jnp.float32)
+        step_idx_fn = make_train_step_vqvae_indexed(data_variance)
+    else:
+        step_fn = make_train_step_vqvae(data_variance)
         from spiking_diffusion_tpu.parallel import make_mesh, replicate, shard_batch
 
         if batch_size % data_parallel:
@@ -143,12 +174,24 @@ def train_vqvae(
         place = lambda b: shard_batch(jnp.asarray(b), mesh)
 
     steps_per_epoch = images.shape[0] // batch_size
+    n = images.shape[0]
     for epoch in range(epochs):
         t0 = time.time()
-        for i, batch in enumerate(
-            batch_iterator(images, batch_size, seed=seed, epoch=epoch)
-        ):
-            state, metrics = step_fn(state, place(batch - 0.5))
+        if device_resident:
+            order = np.arange(n)
+            np.random.RandomState(seed * 100003 + epoch).shuffle(order)
+            batches = (
+                jnp.asarray(order[i * batch_size : (i + 1) * batch_size]
+                            .astype(np.int32))
+                for i in range(steps_per_epoch)
+            )
+        else:
+            batches = batch_iterator(images, batch_size, seed=seed, epoch=epoch)
+        for i, batch in enumerate(batches):
+            if device_resident:
+                state, metrics = step_idx_fn(state, data_dev, batch)
+            else:
+                state, metrics = step_fn(state, place(batch - 0.5))
             if log_fn and ((i + 1) % log_every == 0 or i + 1 == steps_per_epoch):
                 m = jax.device_get(metrics)
                 log_fn(

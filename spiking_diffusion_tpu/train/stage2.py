@@ -88,8 +88,17 @@ def train_diffusion(
     )
     step_fn = make_train_step_diffusion(cfg)
 
-    place = lambda b: jnp.asarray(b)
-    if data_parallel > 1:
+    # device-resident code grids (tiny: N*h*w int32) + on-device gather —
+    # avoids per-step host->device copies over the slow tunnel
+    device_resident = data_parallel <= 1
+    if device_resident:
+        data_dev = jnp.asarray(indices, jnp.int32)
+        body = step_fn.__wrapped__
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_idx_fn(state, data, idx, k):
+            return body(state, jnp.take(data, idx, axis=0), k)
+    else:
         from spiking_diffusion_tpu.parallel import make_mesh, replicate, shard_batch
 
         if batch_size % data_parallel:
@@ -105,9 +114,14 @@ def train_diffusion(
         order = np.arange(n)
         np.random.RandomState(seed * 7919 + epoch).shuffle(order)
         for i in range(steps_per_epoch):
-            batch = place(indices[order[i * batch_size : (i + 1) * batch_size]])
+            sel = order[i * batch_size : (i + 1) * batch_size]
             key, k = jax.random.split(key)
-            state, metrics = step_fn(state, batch, k)
+            if device_resident:
+                state, metrics = step_idx_fn(
+                    state, data_dev, jnp.asarray(sel.astype(np.int32)), k
+                )
+            else:
+                state, metrics = step_fn(state, place(indices[sel]), k)
             if log_fn and ((i + 1) % log_every == 0 or i + 1 == steps_per_epoch):
                 m = jax.device_get(metrics)
                 log_fn(

@@ -50,9 +50,36 @@ def test_dp_step_matches_single_device():
     np.testing.assert_allclose(
         float(m1["loss"]), float(m8["loss"]), rtol=1e-5
     )
-    for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s8b.params)):
+
+    # gradients must agree tightly between single-device and sharded
+    def loss_fn(params, bs, images):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bs}, images, train=True,
+            data_variance=0.1, mutable=["batch_stats"],
+        )
+        return out["vq_loss"] + out["recon_loss"]
+
+    g1 = jax.grad(loss_fn)(s1.params, s1.batch_stats, img)
+    g8 = jax.grad(loss_fn)(s8.params, s8.batch_stats, sharded)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+    # updated params: tight where the gradient carries signal. Leaves with
+    # a mathematically-zero gradient (e.g. a conv bias directly before
+    # BatchNorm — mean subtraction kills constant shifts) only hold float
+    # noise, which Adam's g/sqrt(g^2) normalization amplifies to +-lr
+    # regardless of noise magnitude; those get a lr-scale tolerance.
+    for a, b, g in zip(
+        jax.tree.leaves(s1b.params),
+        jax.tree.leaves(s8b.params),
+        jax.tree.leaves(g1),
+    ):
+        signal = float(np.max(np.abs(np.asarray(g))))
+        atol = 1e-6 if signal > 1e-6 else 5e-3
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=atol
         )
 
 
