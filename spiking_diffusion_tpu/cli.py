@@ -307,8 +307,17 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     real = ds.test_images[: 1280]
     real_feats, _ = feature_fn(real)
 
+    # The reference generates 16 images per sampler call (80 calls per
+    # temperature, each a full 49-step loop at batch 16 — ``main.py:384``).
+    # On TPU the 49 sequential steps have fixed per-step cost that a tiny
+    # batch cannot amortize, so we run the SAME protocol at a large device
+    # batch: one compiled sampler (temperature is a traced scalar) serving
+    # every temperature, n_samples per call = up to 512.
+    n_total = args.sample_batches * 16
+    chunk = min(512, n_total)
+
     @jax.jit
-    def gen_batch(key, temp):
+    def gen_chunk(key, temp):
         def denoise(x_t, t):
             return dstate.apply_fn(
                 {"params": dstate.params, "batch_stats": dstate.batch_stats},
@@ -316,7 +325,7 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
             )
 
         codes = diffusion.sample(
-            key, denoise, d_cfg, n_samples=16, temperature=temp
+            key, denoise, d_cfg, n_samples=chunk, temperature=temp
         )
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -327,16 +336,18 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     key = jax.random.PRNGKey(args.seed + 1)
     for temp in TEMPERATURES:
         t0 = time.time()
-        batches = []
-        for i in range(args.sample_batches):
+        chunks = []
+        produced = 0
+        while produced < n_total:
             key, k = jax.random.split(key)
-            batches.append(np.asarray(gen_batch(k, temp)))
-        gen = np.concatenate(batches, axis=0)  # (N, 28, 28, 1) in [-.5,.5]
-        for g in range(min(args.grid_batches, len(batches) // 2)):
-            grid = np.concatenate(batches[2 * g : 2 * g + 2], axis=0)
+            chunks.append(np.asarray(gen_chunk(k, temp)))
+            produced += chunk
+        gen = np.concatenate(chunks, axis=0)[:n_total]  # [-.5,.5]
+        for g in range(min(args.grid_batches, len(gen) // 32)):
             tdir = os.path.join(sample_path, str(temp))
             save_image_grid(
-                grid, os.path.join(tdir, f"image_{temp}_{g}.png")
+                gen[32 * g : 32 * g + 32],
+                os.path.join(tdir, f"image_{temp}_{g}.png"),
             )
         gen01 = np.clip(gen + 0.5, 0, 1)
         feats, probs = feature_fn(gen01)
