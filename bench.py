@@ -95,7 +95,7 @@ def build(dtype=DTYPE):
         )
         return model.apply(m_vars, codes, method="decode_indices")
 
-    return jax.jit(generate), m_vars, d_vars
+    return jax.jit(generate), m_vars, d_vars, denoiser, model, d_cfg
 
 
 def _cost_analysis(jitted, *args):
@@ -109,10 +109,27 @@ def _cost_analysis(jitted, *args):
         return None, None
 
 
+def _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg):
+    """(flops, bytes) for the FULL generation: XLA's cost analysis counts a
+    while-loop body once, so cost-analyze one denoiser forward and one
+    decode separately and scale the denoiser by the 49 reverse steps —
+    otherwise MFU is understated ~49x."""
+    x_t = jnp.full((BATCH, 7, 7), d_cfg.mask_id, jnp.int32)
+    tt = jnp.ones((BATCH,), jnp.int32)
+    den = jax.jit(lambda v, x, t: denoiser.apply(v, x, t, train=False))
+    f_den, b_den = _cost_analysis(den, d_vars, x_t, tt)
+    dec = jax.jit(lambda v, c: model.apply(v, c, method="decode_indices"))
+    f_dec, b_dec = _cost_analysis(dec, m_vars, x_t)
+    if f_den is None or f_dec is None:
+        return None, None
+    steps = d_cfg.num_timesteps
+    return f_den * steps + f_dec, b_den * steps + b_dec
+
+
 def main():
     import numpy as np
 
-    gen, m_vars, d_vars = build()
+    gen, m_vars, d_vars, denoiser, model, d_cfg = build()
     key = jax.random.PRNGKey(42)
 
     # compile + warmup (host-materialize: on this platform
@@ -128,7 +145,7 @@ def main():
 
     img_per_sec = BATCH * N_ITERS / dt
     dt_iter = dt / N_ITERS
-    flops, hbm_bytes = _cost_analysis(gen, m_vars, d_vars, key)
+    flops, hbm_bytes = _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg)
     mfu = round(flops / dt_iter / _PEAK_FLOPS, 4) if flops else None
     hbm = round(hbm_bytes / dt_iter / _PEAK_HBM, 4) if hbm_bytes else None
     print(
