@@ -16,11 +16,21 @@ from spiking_diffusion_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from spiking_diffusion_tpu.parallel.tp import (
+    make_mesh_2d,
+    shard_batch_2d,
+    shard_state_tp,
+    shard_variables_tp,
+)
 
 __all__ = [
     "batch_sharding",
     "make_mesh",
+    "make_mesh_2d",
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_2d",
+    "shard_state_tp",
+    "shard_variables_tp",
 ]
