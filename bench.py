@@ -70,7 +70,17 @@ import jax.numpy as _jnp
 DTYPE = _jnp.bfloat16
 
 
+# The sampler's denoiser runs as the whole-network fused Pallas megakernel
+# (ops/fused_denoiser.py): all conv blocks + LIF recurrences + skip +
+# logits readout inside one kernel per batch tile, weights and membranes
+# VMEM-resident across the T loop. Set BENCH_FUSED=0 to use the layerwise
+# path.
+USE_FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
+
+
 def build(dtype=DTYPE):
+    from spiking_diffusion_tpu.ops.fused_denoiser import make_fused_denoise_fn
+
     vq_cfg = VQVAEConfig()  # T=16, K=128, D=16
     d_cfg = DiffusionConfig()  # 49 steps, mask_id=128
 
@@ -86,16 +96,19 @@ def build(dtype=DTYPE):
         lambda k, x, t: denoiser.init(k, x, t, train=True)
     )(key, x0, t0)
 
-    def generate(m_vars, d_vars, rng):
+    if USE_FUSED:
+        denoise = make_fused_denoise_fn(d_vars, d_cfg, dtype=dtype)
+    else:
         def denoise(x_t, t):
             return denoiser.apply(d_vars, x_t, t, train=False)
 
+    def generate(m_vars, d_vars, rng):
         codes = diffusion.sample(
             rng, denoise, d_cfg, n_samples=BATCH, temperature=0.65
         )
         return model.apply(m_vars, codes, method="decode_indices")
 
-    return jax.jit(generate), m_vars, d_vars, denoiser, model, d_cfg
+    return jax.jit(generate), m_vars, d_vars, denoiser, model, d_cfg, denoise
 
 
 def _cost_analysis(jitted, *args):
@@ -109,15 +122,24 @@ def _cost_analysis(jitted, *args):
         return None, None
 
 
-def _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg):
+def _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg, denoise=None):
     """(flops, bytes) for the FULL generation: XLA's cost analysis counts a
     while-loop body once, so cost-analyze one denoiser forward and one
     decode separately and scale the denoiser by the 49 reverse steps —
-    otherwise MFU is understated ~49x."""
+    otherwise MFU is understated ~49x. When the fused megakernel is used,
+    its pl.CostEstimate feeds the same analysis (cost-analyze the actual
+    denoise fn the sampler runs)."""
     x_t = jnp.full((BATCH, 7, 7), d_cfg.mask_id, jnp.int32)
     tt = jnp.ones((BATCH,), jnp.int32)
-    den = jax.jit(lambda v, x, t: denoiser.apply(v, x, t, train=False))
-    f_den, b_den = _cost_analysis(den, d_vars, x_t, tt)
+    if denoise is not None:
+        # XLA cost_analysis can't see inside the Pallas megakernel: use the
+        # module's static flop/byte count for the denoiser
+        from spiking_diffusion_tpu.ops.fused_denoiser import denoiser_cost
+
+        f_den, b_den = denoiser_cost(d_cfg, BATCH)
+    else:
+        den = jax.jit(lambda v, x, t: denoiser.apply(v, x, t, train=False))
+        f_den, b_den = _cost_analysis(den, d_vars, x_t, tt)
     dec = jax.jit(lambda v, c: model.apply(v, c, method="decode_indices"))
     f_dec, b_dec = _cost_analysis(dec, m_vars, x_t)
     if f_den is None or f_dec is None:
@@ -129,7 +151,7 @@ def _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg):
 def main():
     import numpy as np
 
-    gen, m_vars, d_vars, denoiser, model, d_cfg = build()
+    gen, m_vars, d_vars, denoiser, model, d_cfg, denoise = build()
     key = jax.random.PRNGKey(42)
 
     # compile + warmup (host-materialize: on this platform
@@ -145,7 +167,10 @@ def main():
 
     img_per_sec = BATCH * N_ITERS / dt
     dt_iter = dt / N_ITERS
-    flops, hbm_bytes = _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg)
+    flops, hbm_bytes = _pipeline_cost(
+        denoiser, d_vars, model, m_vars, d_cfg,
+        denoise=denoise if USE_FUSED else None,
+    )
     mfu = round(flops / dt_iter / _PEAK_FLOPS, 4) if flops else None
     hbm = round(hbm_bytes / dt_iter / _PEAK_HBM, 4) if hbm_bytes else None
     print(

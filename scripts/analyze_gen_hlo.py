@@ -19,7 +19,7 @@ from scripts.analyze_train_hlo import DT_BYTES, shape_bytes  # noqa: E402
 
 
 def main():
-    gen, m_vars, d_vars = B.build()
+    gen, m_vars, d_vars = B.build()[:3]
     key = jax.random.PRNGKey(0)
     compiled = gen.lower(m_vars, d_vars, key).compile()
     ca = compiled.cost_analysis()

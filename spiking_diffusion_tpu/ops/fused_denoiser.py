@@ -1,0 +1,447 @@
+"""Whole-denoiser fused Pallas inference kernel (the sampling megakernel).
+
+Motivation (round-2 perf): the generation benchmark is 49 sequential
+reverse-diffusion steps, each a full T=16 spiking-denoiser forward
+(``snn_model/vq_diffusion.py:103-142,150-208``). The layer-by-layer path
+materializes every (T, N, 7, 7, C) spike train and pre-activation in HBM —
+at batch 1024 that is ~0.8 GB of traffic *per conv block per step*, and the
+measured pipeline sits at ~54% HBM utilization vs ~36% MFU.
+
+This kernel instead runs the ENTIRE denoiser — all conv blocks, BatchNorm
+(pre-folded into the conv weights, eval semantics), the LIF recurrences of
+every layer, the U-Net skip concat, and the firing-rate logits readout —
+inside one ``pallas_call``, for a tile of the batch at a time:
+
+  * all weights (~6 MB bf16 at reference scale) and all membranes
+    (~240 KB/sample fp32) live in VMEM for the whole T loop;
+  * NO intermediate spike train or membrane ever touches HBM: per grid
+    step the only HBM traffic is the first-block pre-activation tile in
+    and the logits tile out (the T axis never materializes at all —
+    compare the reference's per-layer, per-step round trips);
+  * the 3x3 convolutions are expressed as 9 shifted-and-masked MXU
+    matmuls over the flattened (tile*h*w, C_in) spike matrix — the
+    shift/mask trick turns SAME-padding into row masks so wrap-around
+    rows (including batch-boundary crossings) contribute zero, exactly
+    like the zero padding they replace.
+
+The first conv block runs OUTSIDE the kernel: its input is the direct-coded
+(token, t) map, constant across T (``vq_diffusion.py:195-198``), so it is
+one tiny (N,7,7,2)->(N,7,7,C1) conv computed once by XLA and fed in as the
+constant LIF-1 charge current (same static-first-layer identity as
+models/denoiser.py).
+
+Numerics: matmuls run in the requested compute dtype (bf16 on TPU) with
+fp32 accumulation (``preferred_element_type``); membranes, biases and
+logits are fp32 (CLAUDE.md invariant). BatchNorm running statistics are
+folded into conv kernels with :func:`snn.functional.fuse_conv_bn` — eval
+BN is an affine per-channel map, so folding is exact up to one fp32
+rounding.
+
+Parity: tests/test_fused_denoiser.py checks (a) the kernel against a pure
+jnp mirror of the identical folded computation (tight), and (b) the mirror
+against the real ``SpikingDenoiser`` eval path (BN-folding tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spiking_diffusion_tpu.config import DiffusionConfig
+from spiking_diffusion_tpu.snn.functional import fuse_model_conv_bn
+from spiking_diffusion_tpu.snn.neuron import NeuronParams
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _lif_step(v, a, p: NeuronParams, dtype):
+    """One in-kernel LIF step. v, a fp32; returns (v_next fp32, spike dtype)."""
+    if p.decay_input:
+        h = v + (a - (v - p.v_reset)) * p.decay
+    else:
+        h = v - (v - p.v_reset) * p.decay + a
+    sf = (h >= p.v_threshold).astype(jnp.float32)
+    if p.hard_reset:
+        v_next = (1.0 - sf) * h + sf * p.v_reset
+    else:
+        v_next = h - sf * p.v_threshold
+    return v_next, sf.astype(dtype)
+
+
+def _row_roll(x: jax.Array, s: int) -> jax.Array:
+    """Left-rotate rows by s (== jnp.roll(x, -s, axis=0)); s may be negative."""
+    s = s % x.shape[0]
+    if s == 0:
+        return x
+    return jnp.concatenate([x[s:], x[:s]], axis=0)
+
+
+def _build_masks(r: int, hw: int, mode: str | None = None):
+    """Validity masks for the masked-shift convolutions, (R, 1) booleans.
+
+    Output row p may take input row p + dy*hw + dx iff the (y+dy, x+dx)
+    neighbor is inside the hw x hw grid. Rows whose rotation wrapped across
+    a sample boundary always fall outside and are masked too (y+dy or
+    x+dx out of range there by construction).
+
+    'xy' mode needs only 4 masks (x-1, x+1, y-1, y+1); the other modes use
+    the 9 per-tap products.
+    """
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    yy = (pidx % (hw * hw)) // hw
+    xx = pidx % hw
+    if (mode or _CONV_MODE) == "xy":
+        return (
+            xx - 1 >= 0,  # xmask_m: reading x[p-1] valid
+            xx + 1 < hw,  # xmask_p
+            yy - 1 >= 0,  # ymask_m: combining v_{-1}[p-hw] valid
+            yy + 1 < hw,  # ymask_p
+        )
+    masks = []
+    for k in range(9):
+        dy, dx = k // 3 - 1, k % 3 - 1
+        m = (
+            (yy + dy >= 0) & (yy + dy < hw) & (xx + dx >= 0) & (xx + dx < hw)
+        )
+        masks.append(m)
+    return masks
+
+
+_CONV_MODE = "xy"  # 'xy' | 'taps' | 'im2col'
+_UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
+
+
+def _conv3x3(x, w_ref, b_ref, masks, hw: int):
+    """SAME 3x3 conv of flattened (R, Cin) rows via masked row shifts.
+
+    w_ref: (9, Cin, Cout) ref (tap k = (ky, kx) row-major, dy=ky-1);
+    b_ref: (1, Cout) fp32. fp32 accumulation on the MXU.
+
+    Modes (all mathematically identical):
+      'xy'     — separable shifting: 2 masked x-rolls on the INPUT build
+                 u_dx[p] = x[p+dx], 9 matmuls produce the three kernel-row
+                 partial sums v_dy, and 2 masked y-rolls on the OUTPUT
+                 combine them (out[p] = sum_dy v_dy[p+dy*hw]); 4 VPU
+                 roll+select passes per conv instead of 9 — the measured
+                 winner (VPU shifts, not MXU work, bound the kernel).
+      'taps'   — 9 masked rolls, 9 accumulating matmuls.
+      'im2col' — 9 masked rolls concatenated, ONE (R, 9*Cin) matmul.
+    """
+    r = x.shape[0]
+    cout = w_ref.shape[2]
+    bias = jnp.broadcast_to(b_ref[...].astype(jnp.float32), (r, cout))
+    if _CONV_MODE == "xy":
+        xmask_m, xmask_p, ymask_m, ymask_p = masks
+        zero = jnp.zeros_like(x)
+        u = {
+            -1: jnp.where(xmask_m, _row_roll(x, -1), zero),
+            0: x,
+            1: jnp.where(xmask_p, _row_roll(x, 1), zero),
+        }
+        v = []
+        for dy in (-1, 0, 1):
+            acc = None
+            for dx in (-1, 0, 1):
+                d = jnp.dot(
+                    u[dx], w_ref[(dy + 1) * 3 + (dx + 1)],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = d if acc is None else acc + d
+            v.append(acc)
+        out = bias + v[1]
+        zf = jnp.zeros_like(v[1])
+        out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zf)
+        out = out + jnp.where(ymask_p, _row_roll(v[2], hw), zf)
+        return out
+    shifted = []
+    for k in range(9):
+        dy, dx = k // 3 - 1, k % 3 - 1
+        xs = _row_roll(x, dy * hw + dx)
+        shifted.append(jnp.where(masks[k], xs, jnp.zeros_like(xs)))
+    if _CONV_MODE == "im2col":
+        xim = jnp.concatenate(shifted, axis=-1)
+        w = w_ref[...].reshape(9 * w_ref.shape[1], cout)
+        return bias + jnp.dot(xim, w, preferred_element_type=jnp.float32)
+    acc = bias
+    for k in range(9):
+        acc = acc + jnp.dot(
+            shifted[k], w_ref[k], preferred_element_type=jnp.float32
+        )
+    return acc
+
+
+def _make_kernel(
+    channels: Tuple[int, ...],
+    num_classes: int,
+    t_steps: int,
+    hw: int,
+    block_n: int,
+    p: NeuronParams,
+    dtype,
+):
+    n_l = len(channels)
+    r = block_n * hw * hw
+
+    def kernel(a1_ref, *refs):
+        # refs layout: W_2, b_2, ..., W_{n_l}, b_{n_l}, W_f, b_f, out_ref
+        w_refs = [refs[2 * i] for i in range(n_l - 1)]
+        b_refs = [refs[2 * i + 1] for i in range(n_l - 1)]
+        wf_ref, bf_ref = refs[2 * (n_l - 1)], refs[2 * (n_l - 1) + 1]
+        out_ref = refs[2 * n_l]
+
+        masks = _build_masks(r, hw)
+        a1 = a1_ref[...].reshape(r, channels[0]).astype(jnp.float32)
+
+        vs0 = tuple(
+            jnp.full((r, c), p.v_reset, jnp.float32) for c in channels
+        )
+        acc0 = jnp.zeros((r, num_classes), jnp.float32)
+
+        def body(_, carry):
+            vs, acc = carry
+            v1, s1 = _lif_step(vs[0], a1, p, dtype)
+            new_vs = [v1]
+            x = s1
+            for i in range(1, n_l):
+                z = _conv3x3(x, w_refs[i - 1], b_refs[i - 1], masks, hw)
+                vi, x = _lif_step(vs[i], z, p, dtype)
+                new_vs.append(vi)
+            # U-Net skip: cat(last, first) on channels (vq_diffusion.py:205)
+            cat = jnp.concatenate([x, s1], axis=-1)
+            acc = acc + _conv3x3(cat, wf_ref, bf_ref, masks, hw)
+            return tuple(new_vs), acc
+
+        if _UNROLL_T:
+            carry = (vs0, acc0)
+            for _ in range(t_steps):
+                carry = body(0, carry)
+            _, acc = carry
+        else:
+            _, acc = jax.lax.fori_loop(0, t_steps, body, (vs0, acc0))
+        # firing-rate readout of the logits (vq_diffusion.py:206)
+        out_ref[...] = (acc / t_steps).reshape(block_n, hw * hw, num_classes)
+
+    return kernel
+
+
+def _extract_folded_weights(variables, n_blocks: int, dtype):
+    """Fold BN into convs and pull out (first-conv, per-block, final) weights.
+
+    Returns (k1, b1, ws, bs, kf, bf): k1 flax (3,3,Cin,C1) fp32; ws/kf are
+    (9, Cin, Cout) in the compute dtype; biases (1, Cout) fp32.
+    """
+    fused = fuse_model_conv_bn(variables)
+    params = fused["params"]
+
+    def kb(name):
+        node = params[name]
+        inner = node[next(iter(node))]
+        k = inner["kernel"]
+        b = inner.get("bias", jnp.zeros((k.shape[-1],), jnp.float32))
+        return k, b
+
+    k1, b1 = kb("SeqConv_0")
+    ws, bs = [], []
+    for i in range(1, n_blocks):
+        k, b = kb(f"SeqConv_{i}")
+        ws.append(
+            jnp.asarray(k, jnp.float32)
+            .reshape(9, k.shape[2], k.shape[3])
+            .astype(dtype)
+        )
+        bs.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
+    kf, bf = kb(f"SeqConv_{n_blocks}")
+    kf = (
+        jnp.asarray(kf, jnp.float32)
+        .reshape(9, kf.shape[2], kf.shape[3])
+        .astype(dtype)
+    )
+    return (
+        jnp.asarray(k1, jnp.float32),
+        jnp.asarray(b1, jnp.float32),
+        ws,
+        bs,
+        kf,
+        jnp.asarray(bf, jnp.float32).reshape(1, -1),
+    )
+
+
+def _first_preactivation(x_tokens, t, k1, b1, hw: int):
+    """Fused-BN first conv on the direct-coded (token, t) map — runs once,
+    its output is the (constant-in-T) LIF-1 charge current."""
+    x = x_tokens.astype(jnp.float32)[..., None]
+    t_map = jnp.broadcast_to(t.astype(jnp.float32)[:, None, None, None], x.shape)
+    xin = jnp.concatenate([x, t_map], axis=-1)
+    a1 = jax.lax.conv_general_dilated(
+        xin, k1, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b1
+    return a1.reshape(x_tokens.shape[0], hw * hw, k1.shape[-1])
+
+
+def denoiser_cost(cfg: DiffusionConfig, n: int) -> Tuple[float, float]:
+    """(flops, hbm bytes) of ONE fused denoiser forward at batch n.
+
+    XLA's ``cost_analysis()`` does not see inside a Pallas custom call, so
+    bench MFU/HBM-util use this static count: the in-kernel matmul flops
+    (9 taps x T steps over every conv block, incl. the skip-concat final
+    conv) plus the out-of-kernel first conv; bytes = the first-layer
+    pre-activation in, logits out, and one pass of the weights.
+    """
+    hw2 = cfg.latent_size ** 2
+    ch = tuple(cfg.denoiser_channels)
+    k = cfg.num_embeddings
+    r = n * hw2
+    flops = 2.0 * r * 9 * 2 * ch[0]  # first conv (2 input channels), once
+    per_t = 0.0
+    for i in range(1, len(ch)):
+        per_t += 2.0 * r * 9 * ch[i - 1] * ch[i]
+    per_t += 2.0 * r * 9 * (ch[-1] + ch[0]) * k
+    flops += per_t * cfg.num_steps
+    w_elems = sum(9 * ch[i - 1] * ch[i] for i in range(1, len(ch)))
+    w_elems += 9 * (ch[-1] + ch[0]) * k
+    bytes_accessed = r * ch[0] * 4.0 + r * k * 4.0 + w_elems * 2.0
+    return flops, bytes_accessed
+
+
+def make_fused_denoise_fn(
+    variables,
+    cfg: DiffusionConfig,
+    dtype=jnp.bfloat16,
+    block_n: int = 8,
+    interpret: bool | None = None,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Build denoise_fn(x_tokens (N,h,w) int, t (N,) int) -> (N,h,w,K) fp32
+    logits running the whole denoiser as one Pallas kernel per batch tile.
+
+    ``variables`` are a trained :class:`SpikingDenoiser`'s variables; BN
+    statistics are folded at closure-build time (eval semantics only).
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    hw = cfg.latent_size
+    channels = tuple(cfg.denoiser_channels)
+    n_l = len(channels)
+    k1, b1, ws, bs, kf, bf = _extract_folded_weights(variables, n_l, dtype)
+    num_classes = kf.shape[-1]  # == cfg.num_embeddings (final conv width)
+    p = cfg.lif.to_params()
+    t_steps = cfg.num_steps
+
+    kernel = _make_kernel(channels, num_classes, t_steps, hw, block_n, p, dtype)
+
+    # static cost estimate so jit-level cost_analysis (bench MFU) stays
+    # honest — XLA cannot see inside the kernel
+    r = block_n * hw * hw
+    flops_step = 0
+    for i in range(1, n_l):
+        flops_step += 2 * r * 9 * channels[i - 1] * channels[i]
+    flops_step += 2 * r * 9 * (channels[-1] + channels[0]) * num_classes
+    w_bytes = sum(int(w.size) * w.dtype.itemsize for w in ws) + int(kf.size) * kf.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=int(flops_step) * t_steps,
+        bytes_accessed=int(
+            r * channels[0] * 4 + r * num_classes * 4 + w_bytes
+        ),
+        transcendentals=0,
+    )
+
+    weight_args = []
+    for w, b in zip(ws, bs):
+        weight_args.extend([w, b])
+    weight_args.extend([kf, bf])
+
+    def denoise(x_tokens: jax.Array, t: jax.Array) -> jax.Array:
+        n = x_tokens.shape[0]
+        a1 = _first_preactivation(x_tokens, t, k1, b1, hw)
+        n_pad = -n % block_n
+        if n_pad:
+            a1 = jnp.concatenate(
+                [a1, jnp.zeros((n_pad,) + a1.shape[1:], a1.dtype)], axis=0
+            )
+        n_full = n + n_pad
+        grid = (n_full // block_n,)
+        in_specs = [
+            pl.BlockSpec(
+                (block_n, hw * hw, channels[0]),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        for arg in weight_args:
+            in_specs.append(
+                pl.BlockSpec(
+                    arg.shape,
+                    functools.partial(lambda i, nd: (0,) * nd, nd=arg.ndim),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (block_n, hw * hw, num_classes),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_full, hw * hw, num_classes), jnp.float32
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(a1, *weight_args)
+        return out[:n].reshape(n, hw, hw, num_classes)
+
+    return denoise
+
+
+def mirror_denoise_fn(
+    variables, cfg: DiffusionConfig, dtype=jnp.float32
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Pure-jnp mirror of the kernel's exact folded computation (the parity
+    oracle for tests — same weights, same masked-shift conv formulation)."""
+    hw = cfg.latent_size
+    channels = tuple(cfg.denoiser_channels)
+    n_l = len(channels)
+    k1, b1, ws, bs, kf, bf = _extract_folded_weights(variables, n_l, dtype)
+    p = cfg.lif.to_params()
+
+    def conv(x, w, b, masks):
+        racc = jnp.broadcast_to(
+            b.astype(jnp.float32), (x.shape[0], w.shape[2])
+        )
+        for k in range(9):
+            dy, dx = k // 3 - 1, k % 3 - 1
+            xs = _row_roll(x, dy * hw + dx)
+            xm = jnp.where(masks[k], xs, jnp.zeros_like(xs))
+            racc = racc + jnp.dot(
+                xm, w[k], preferred_element_type=jnp.float32
+            )
+        return racc
+
+    def denoise(x_tokens, t):
+        n = x_tokens.shape[0]
+        r = n * hw * hw
+        masks = _build_masks(r, hw, mode="taps")
+        a1 = _first_preactivation(x_tokens, t, k1, b1, hw)
+        a1 = a1.reshape(r, channels[0]).astype(jnp.float32)
+        vs = [jnp.full((r, c), p.v_reset, jnp.float32) for c in channels]
+        acc = jnp.zeros((r, kf.shape[-1]), jnp.float32)
+        for _ in range(cfg.num_steps):
+            vs[0], s1 = _lif_step(vs[0], a1, p, dtype)
+            x = s1
+            for i in range(1, n_l):
+                z = conv(x, ws[i - 1], bs[i - 1], masks)
+                vs[i], x = _lif_step(vs[i], z, p, dtype)
+            acc = acc + conv(
+                jnp.concatenate([x, s1], axis=-1), kf, bf, masks
+            )
+        out = acc / cfg.num_steps
+        return out.reshape(n, hw, hw, kf.shape[-1])
+
+    return denoise

@@ -66,9 +66,13 @@ def test_profile_model_end_to_end():
     assert first_conv, list(per_layer)[:5]
     e = per_layer[first_conv[0]]
     assert e["macs"] > 0 and e["acs"] == 0
-    # expected: T*N*14*14*32 outputs * 3*3*1 ops + bias
-    t, n = 4, 2
-    out_elems = t * n * 14 * 14 * 32
+    # expected: N*14*14*32 outputs * 3*3*1 ops + bias. NOTE: the counter
+    # reports the work actually executed — with the static-first-layer
+    # optimization the first conv of a direct-coded model runs ONCE and is
+    # broadcast over T (identical math), so its count is 1/T of the
+    # reference's T-fold count (a real efficiency win, not a miscount).
+    n = 2
+    out_elems = n * 14 * 14 * 32
     assert e["ops"] == out_elems * 9 + out_elems
 
 
