@@ -27,6 +27,7 @@ from spiking_diffusion_tpu.models import (
     ann2snn,
     attention,
     deploy,
+    lava_export,
     diffusion,
     dropconnect,
     recurrent,
@@ -37,6 +38,7 @@ __all__ = [
     "ann2snn",
     "attention",
     "deploy",
+    "lava_export",
     "diffusion",
     "dropconnect",
     "recurrent",

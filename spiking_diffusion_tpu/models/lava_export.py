@@ -1,0 +1,230 @@
+"""Lava-DL netx-format HDF5 export (neuromorphic deployment).
+
+Parity target: spikingjelly ``activation_based/lava_exchange.py`` — the
+reference's path from trained SNN modules to Loihi via Lava-DL. Lava-DL
+consumes networks in the "netx" HDF5 schema (``/layer/<i>/`` groups with
+``type``/``weight``/``neuron`` members); this module writes that schema
+directly with h5py, so an exported file can be loaded by
+``lava.lib.dl.netx.hdf5.Network`` on a host that has Lava installed
+(no Lava/torch dependency here — the TPU host has neither).
+
+Neuron mapping (``lava_exchange.py:577-592 to_lava_neuron_param_dict``):
+a spikingjelly/our LIF with v_reset=0 maps to a Lava CUBA neuron with
+``current_decay=1`` and ``voltage_decay=1/tau``. The reference REJECTS
+``decay_input=True`` (``lava_exchange.py:580-581``) — but the app's LIF
+uses exactly that. The rejection is unnecessary: with v_reset=0,
+
+    H[t] = V[t-1] + (X[t] - V[t-1])/tau  ==  (1 - 1/tau)*V[t-1] + X[t]/tau
+
+i.e. a decay-input LIF is a non-decay-input LIF whose *incoming synapse
+weights are scaled by 1/tau*. This exporter performs that fold, making
+the app's actual neurons exportable exactly where the reference raises.
+
+Fixed-point device parameters follow lava-dl's CUBA conventions
+(``lava_exchange.py:335-350``: p_scale = 1<<12 for the decay mantissas,
+w_scale = 1<<6 for the threshold mantissa):
+    iDecay  = round(current_decay * 4096)
+    vDecay  = round(voltage_decay * 4096)
+    vThMant = round(v_threshold * 64)
+
+BatchNorm is folded into the preceding conv (eval semantics,
+:func:`snn.functional.fuse_conv_bn`) — Lava has no BN at inference, and
+the reference's own ``lava_exchange.BatchNorm2d.to_lava`` does the same
+absorb-into-weights trick. Conv biases are written as an optional
+``bias`` dataset (CUBA neurons have no bias current input; loaders that
+cannot apply it should be given bias-free models).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from spiking_diffusion_tpu.snn.neuron import NeuronParams
+
+P_SCALE = 1 << 12  # decay mantissa scale (lava_exchange.py:345-348)
+W_SCALE = 1 << 6  # threshold mantissa scale (lava_s_cale, :335-343)
+
+
+@dataclasses.dataclass
+class NetxLayer:
+    """One netx layer: a synapse (conv/dense/input) + optional CUBA neuron."""
+
+    kind: str  # 'input' | 'conv' | 'dense'
+    shape: Tuple[int, ...]  # output neuron shape (H, W, C) or (F,)
+    weight: Optional[np.ndarray] = None  # conv: (out,in,kh,kw); dense: (out,in)
+    bias: Optional[np.ndarray] = None
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    neuron: Optional[NeuronParams] = None
+
+
+def cuba_device_params(p: NeuronParams) -> Dict[str, Any]:
+    """LIF -> Lava CUBA fixed-point device params (see module docstring)."""
+    if p.v_reset != 0.0:
+        raise ValueError("lava only supports v_reset == 0 "
+                         "(lava_exchange.py:578-579)")
+    if not p.hard_reset:
+        raise ValueError("Lava CUBA resets to 0 on spike (hard reset); "
+                         "soft-reset neurons cannot be exported")
+    return {
+        "type": "CUBA",
+        "iDecay": int(round(1.0 * P_SCALE)),  # current_decay = 1
+        "vDecay": int(round((1.0 / p.tau) * P_SCALE)),
+        "vThMant": int(round(p.v_threshold * W_SCALE)),
+        "refDelay": 1,
+        "gradedSpike": False,
+    }
+
+
+def input_weight_scale(p: NeuronParams) -> float:
+    """The 1/tau synapse-weight fold that converts decay_input=True into
+    Lava's (decay_input=False) CUBA charge equation exactly."""
+    return (1.0 / p.tau) if p.decay_input else 1.0
+
+
+def export_netx_hdf5(path: str, layers: Sequence[NetxLayer]) -> str:
+    """Write ``layers`` to ``path`` in the netx HDF5 schema; returns path."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        root = f.create_group("layer")
+        for i, layer in enumerate(layers):
+            g = root.create_group(str(i))
+            g.create_dataset("type", data=np.bytes_(layer.kind))
+            g.create_dataset("shape", data=np.asarray(layer.shape, np.int64))
+            if layer.weight is not None:
+                w = np.asarray(layer.weight, np.float32)
+                if layer.neuron is not None:
+                    w = w * input_weight_scale(layer.neuron)
+                g.create_dataset("weight", data=w)
+            if layer.bias is not None:
+                b = np.asarray(layer.bias, np.float32)
+                if layer.neuron is not None:
+                    b = b * input_weight_scale(layer.neuron)
+                g.create_dataset("bias", data=b)
+            if layer.kind == "conv":
+                g.create_dataset(
+                    "stride", data=np.asarray(layer.stride, np.int64)
+                )
+                g.create_dataset(
+                    "padding", data=np.asarray(layer.padding, np.int64)
+                )
+                g.create_dataset(
+                    "dilation", data=np.asarray(layer.dilation, np.int64)
+                )
+                g.create_dataset("groups", data=np.int64(layer.groups))
+            if layer.kind == "dense" and layer.weight is not None:
+                g.create_dataset(
+                    "inFeatures", data=np.int64(layer.weight.shape[1])
+                )
+                g.create_dataset(
+                    "outFeatures", data=np.int64(layer.weight.shape[0])
+                )
+            if layer.neuron is not None:
+                ng = g.create_group("neuron")
+                for k, v in cuba_device_params(layer.neuron).items():
+                    if isinstance(v, str):
+                        ng.create_dataset(k, data=np.bytes_(v))
+                    else:
+                        ng.create_dataset(k, data=v)
+    return path
+
+
+def _flax_conv_to_netx(kernel: np.ndarray) -> np.ndarray:
+    """flax (kh, kw, cin, cout) -> lava (cout, cin, kh, kw)."""
+    return np.transpose(np.asarray(kernel, np.float32), (3, 2, 0, 1))
+
+
+def _folded_conv_blocks(
+    variables: Dict[str, Any], n_blocks: int
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """(kernel, bias) per SeqConv_i with its SeqBatchNorm_i folded in."""
+    from spiking_diffusion_tpu.snn.functional import fuse_model_conv_bn
+
+    fused = fuse_model_conv_bn(variables)
+    params = fused["params"]
+    out = []
+    for i in range(n_blocks):
+        node = params[f"SeqConv_{i}"]
+        inner = node[next(iter(node))]
+        k = np.asarray(inner["kernel"], np.float32)
+        b = np.asarray(
+            inner.get("bias", np.zeros(k.shape[-1])), np.float32
+        )
+        out.append((k, b))
+    return out
+
+
+def denoiser_to_netx(
+    variables: Dict[str, Any], cfg, path: str
+) -> str:
+    """Export a trained :class:`SpikingDenoiser` to netx HDF5.
+
+    Emits input + the 5 conv/CUBA blocks + the final logits conv (no
+    neuron). The U-Net skip concat is not representable in the sequential
+    netx schema — the final conv's weight keeps both halves, and the skip
+    topology is recorded in a ``skip`` attribute on the root group for
+    loaders that support lateral wiring.
+    """
+    import h5py
+
+    hw = cfg.latent_size
+    p = cfg.lif.to_params()
+    channels = tuple(cfg.denoiser_channels)
+    blocks = _folded_conv_blocks(variables, len(channels) + 1)
+    layers = [NetxLayer("input", (hw, hw, 2))]
+    for i, ch in enumerate(channels):
+        k, b = blocks[i]
+        layers.append(
+            NetxLayer(
+                "conv", (hw, hw, ch),
+                weight=_flax_conv_to_netx(k), bias=b,
+                stride=(1, 1), padding=(1, 1), neuron=p,
+            )
+        )
+    kf, bf = blocks[len(channels)]
+    layers.append(
+        NetxLayer(
+            "conv", (hw, hw, kf.shape[-1]),
+            weight=_flax_conv_to_netx(kf), bias=bf,
+            stride=(1, 1), padding=(1, 1), neuron=None,
+        )
+    )
+    export_netx_hdf5(path, layers)
+    with h5py.File(path, "a") as f:
+        f["layer"].attrs["skip"] = np.asarray(
+            [len(channels), 1], np.int64
+        )  # concat(layer5_out, layer1_out) feeds the final conv
+    return path
+
+
+def encoder_to_netx(variables: Dict[str, Any], cfg, path: str) -> str:
+    """Export the VQ-SVAE encoder (3 strided Conv+BN+LIF blocks,
+    ``vae_model.py:101-129``) to netx HDF5."""
+    enc = {"params": variables["params"]["encoder"],
+           "batch_stats": variables["batch_stats"]["encoder"]}
+    p = cfg.lif.to_params()
+    specs = [  # (stride, padding, out hw) — 28 -> 14 -> 7 -> 7
+        ((2, 2), (1, 1), 14),
+        ((2, 2), (1, 1), 7),
+        ((1, 1), (0, 0), 7),
+    ]
+    chs = tuple(cfg.enc_channels) + (cfg.embedding_dim,)
+    blocks = _folded_conv_blocks(enc, len(chs))
+    layers = [NetxLayer("input", (28, 28, 1))]
+    for i, ch in enumerate(chs):
+        k, b = blocks[i]
+        stride, pad, out_hw = specs[i] if i < len(specs) else specs[-1]
+        layers.append(
+            NetxLayer(
+                "conv", (out_hw, out_hw, ch),
+                weight=_flax_conv_to_netx(k), bias=b,
+                stride=stride, padding=pad, neuron=p,
+            )
+        )
+    return export_netx_hdf5(path, layers)
