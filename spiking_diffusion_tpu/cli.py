@@ -105,6 +105,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="synthetic-fallback train set size (no IDX files)")
     p.add_argument("--synthetic_test", type=int, default=512,
                    help="synthetic-fallback test set size")
+    p.add_argument("--fused_sampler", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="whole-denoiser Pallas megakernel for generation "
+                        "(auto: on TPU only)")
     p.add_argument("--syops", action="store_true",
                    help="print the spike-aware op/energy report "
                         "(the reference's commented-out complexity print, "
@@ -316,13 +320,34 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     n_total = args.sample_batches * 16
     chunk = min(512, n_total)
 
+    # Sampler backend: the whole-denoiser Pallas megakernel (VMEM-resident
+    # weights/membranes across the T loop — ops/fused_denoiser.py) on TPU;
+    # the layerwise path elsewhere (and as explicit fallback).
+    fused = getattr(args, "fused_sampler", "auto")
+    use_fused = fused == "on" or (
+        fused == "auto" and jax.default_backend() not in ("cpu",)
+    )
+    if use_fused:
+        from spiking_diffusion_tpu.ops.fused_denoiser import (
+            make_fused_denoise_fn,
+        )
+
+        denoise_fused = make_fused_denoise_fn(
+            {"params": dstate.params, "batch_stats": dstate.batch_stats},
+            d_cfg,
+        )
+
     @jax.jit
     def gen_chunk(key, temp):
-        def denoise(x_t, t):
-            return dstate.apply_fn(
-                {"params": dstate.params, "batch_stats": dstate.batch_stats},
-                x_t, t, train=False,
-            )
+        if use_fused:
+            denoise = denoise_fused
+        else:
+            def denoise(x_t, t):
+                return dstate.apply_fn(
+                    {"params": dstate.params,
+                     "batch_stats": dstate.batch_stats},
+                    x_t, t, train=False,
+                )
 
         codes = diffusion.sample(
             key, denoise, d_cfg, n_samples=chunk, temperature=temp
