@@ -144,16 +144,33 @@ def sample_codes(
     temperature: float = 1.0,
     sample_steps: Optional[int] = None,
     data_parallel: int = 1,
+    fused: bool = False,
 ) -> jax.Array:
     """Generate (N, h, w) code grids from a trained denoiser state.
 
-    ``data_parallel > 1``: replicate the denoiser over a 1-D mesh and
-    shard the sample batch — generation throughput scales with chips
-    (each device runs its slice of the batch through the same 49-step
-    scan; no collectives are needed, XLA partitions the whole loop).
+    ``data_parallel > 1``: shard the sample batch over a 1-D mesh —
+    generation throughput scales with chips (no collectives; each device
+    runs its slice through the same 49-step scan).
+
+    ``fused=True`` samples through the whole-denoiser Pallas megakernel
+    (``ops/fused_denoiser.py``). A Pallas custom call is opaque to GSPMD
+    auto-partitioning, so the data-parallel fused path uses ``shard_map``:
+    every device runs its own kernel on its local batch shard, with the
+    RNG key folded by device index (sample streams therefore differ from
+    the single-device run — same distribution, different draws).
     """
 
-    out_sharding = None
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if fused:
+        from spiking_diffusion_tpu.ops.fused_denoiser import (
+            make_fused_denoise_fn,
+        )
+
+        denoise = make_fused_denoise_fn(variables, cfg)
+    else:
+        def denoise(x_t, t):
+            return state.apply_fn(variables, x_t, t, train=False)
+
     if data_parallel > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -162,16 +179,35 @@ def sample_codes(
         if n_samples % data_parallel:
             raise ValueError("n_samples must divide by data_parallel")
         mesh = make_mesh(data_parallel)
-        state = replicate(state, mesh)
-        out_sharding = NamedSharding(mesh, P("data", None, None))
+        if fused:
+            from jax.experimental.shard_map import shard_map
 
-    def denoise(x_t, t):
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x_t,
-            t,
-            train=False,
-        )
+            per_dev = n_samples // data_parallel
+
+            def local_gen(k):
+                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                return diffusion.sample(
+                    k, denoise, cfg, n_samples=per_dev,
+                    temperature=temperature, sample_steps=sample_steps,
+                )
+
+            fn = jax.jit(
+                shard_map(
+                    local_gen, mesh=mesh, in_specs=P(),
+                    out_specs=P("data", None, None), check_rep=False,
+                )
+            )
+            return fn(key)
+        state = replicate(state, mesh)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def denoise(x_t, t):  # rebind on the replicated state
+            return state.apply_fn(variables, x_t, t, train=False)
+
+        out_sharding = NamedSharding(mesh, P("data", None, None))
+    else:
+        out_sharding = None
 
     fn = jax.jit(
         lambda k: diffusion.sample(
