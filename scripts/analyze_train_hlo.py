@@ -46,7 +46,7 @@ def shape_bytes(sig: str) -> int:
 
 def main():
     cfg = VQVAEConfig()
-    model = SNNVQVAE(cfg, backend="pallas")
+    model = SNNVQVAE(cfg, backend="auto")
     key = jax.random.PRNGKey(0)
     images = jax.random.uniform(key, (BATCH, 28, 28, 1), jnp.float32) - 0.5
     variables = jax.jit(lambda k, x: model.init(k, x, train=True))(

@@ -40,15 +40,22 @@ from spiking_diffusion_tpu.snn.neuron import NeuronParams, _charge_lif
 
 
 def _forward_pass(x_seq: jax.Array, v0: jax.Array, p: NeuronParams):
-    """Unrolled charge/fire/reset; returns (spike_seq, h_list)."""
+    """Unrolled charge/fire/reset; returns (spike_seq, h_list).
+
+    Membranes are fp32 throughout (x_seq slices are upcast per step inside
+    the fusion — never materialized as an fp32 copy of the whole train),
+    but the EMITTED spike train is in ``x_seq``'s dtype: under bf16
+    activations the (T, N, H, W, C) spike stack — the single largest
+    tensor in the train step — is written at half the bytes.
+    """
     v = v0
     spikes = []
     hs = []
     for t in range(x_seq.shape[0]):
-        h = _charge_lif(v, x_seq[t], p)
+        h = _charge_lif(v, x_seq[t].astype(jnp.float32), p)
         hs.append(h)
         s = (h >= p.v_threshold).astype(jnp.float32)
-        spikes.append(s)
+        spikes.append(s.astype(x_seq.dtype))
         if p.hard_reset:
             v = (1.0 - s) * h + s * p.v_reset
         else:
@@ -96,7 +103,9 @@ def _bwd(p: NeuronParams, res, g):
         gx[t] = gh * (p.decay if p.decay_input else 1.0)
         gh_next = gh
     gv0 = gh_next * dh_dv
-    return jnp.stack(gx), gv0
+    # cotangent dtype must match the primal: bf16 activations get bf16
+    # input grads (the recurrence itself ran fp32 above)
+    return jnp.stack(gx).astype(x_seq.dtype), gv0
 
 
 _lif_unrolled.defvjp(_fwd, _bwd)
@@ -110,13 +119,14 @@ def lif_unrolled(
     """Unrolled multi-step LIF: (T, ...) input -> (T, ...) spike train.
 
     Drop-in replacement for the spike output of ``lif_scan``/``lif_fused``.
+    The primal stays in ``x_seq``'s dtype (bf16 spike stacks are written
+    at half the bytes — the largest tensors in the train step); membrane
+    arithmetic inside is always fp32.
     """
-    x32 = x_seq.astype(jnp.float32)
     if v_init is None:
         v0 = jnp.full(x_seq.shape[1:], params.v_reset, jnp.float32)
     else:
         v0 = jnp.broadcast_to(
             v_init.astype(jnp.float32), x_seq.shape[1:]
         )
-    s = _lif_unrolled(x32, v0, params)
-    return s.astype(x_seq.dtype)
+    return _lif_unrolled(x_seq, v0, params)
