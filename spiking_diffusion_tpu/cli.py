@@ -105,6 +105,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="synthetic-fallback train set size (no IDX files)")
     p.add_argument("--synthetic_test", type=int, default=512,
                    help="synthetic-fallback test set size")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv activations/spikes (membranes stay "
+                        "fp32); ~25%% faster train step on TPU")
     p.add_argument("--fused_sampler", default="auto",
                    choices=["auto", "on", "off"],
                    help="whole-denoiser Pallas megakernel for generation "
@@ -148,7 +151,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         usage_loss_weight=0.1 if args.model == "snn-vq-vae-uni" else 0.0,
     )
     if args.model in ("snn-vq-vae", "snn-vq-vae-uni"):
-        model = SNNVQVAE(vq_cfg, backend=args.lif_backend)
+        model = SNNVQVAE(vq_cfg, backend=args.lif_backend,
+                         dtype=jnp.bfloat16 if args.bf16 else None)
     elif args.model == "vq-vae":
         model = ANNVQVAE(vq_cfg)
     else:
@@ -217,7 +221,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         mask_id=mask_id,
         num_steps=args.num_steps,
     )
-    denoiser = SpikingDenoiser(d_cfg, backend=args.lif_backend)
+    denoiser = SpikingDenoiser(d_cfg, backend=args.lif_backend,
+                               dtype=jnp.bfloat16 if args.bf16 else None)
     diff_path = os.path.join(save_path, "diff_result")
     os.makedirs(diff_path, exist_ok=True)
 
