@@ -58,13 +58,12 @@ def _reference_img_per_sec() -> float:
 _PEAK_FLOPS = 197e12  # v5e bf16 peak (fp32 runs below this; conservative)
 _PEAK_HBM = 819e9  # v5e HBM bytes/sec
 
-BATCH = 1024  # per-chip generation batch (the TPU eats the reference's 16)
+# per-chip generation batch. Measured with the fused megakernel sampler:
+# 1024 -> 497 img/s, 2048 -> 530, 4096 -> 543 (diminishing; 2048 balances
+# throughput against compile/latency).
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 N_ITERS = 4
-# measured on v5e with the unroll LIF backend: bf16 396 vs fp32 334 img/s
-# at batch 1024 (batch 2048 is slower for both — 1024 is the sweet spot).
-# Under the old pallas path bf16 lost (layout copies dominated); with the
-# layout-free unrolled LIF the conv work is the bottleneck and halving
-# activation bytes pays. Membranes stay fp32 in-kernel (CLAUDE.md rule).
+# bf16 activations/spikes; membranes stay fp32 in-kernel (CLAUDE.md rule).
 import jax.numpy as _jnp
 
 DTYPE = _jnp.bfloat16
