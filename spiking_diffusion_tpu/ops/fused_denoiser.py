@@ -114,6 +114,9 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
 
 _CONV_MODE = "xy"  # 'xy' | 'taps' | 'im2col'
 _UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
+_INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
+# half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU
+# overlap gains); kept as an experiment knob
 
 
 def _conv3x3(x, w_ref, b_ref, masks, hw: int):
@@ -187,6 +190,9 @@ def _make_kernel(
     n_l = len(channels)
     r = block_n * hw * hw
 
+    n_sub = _INTERLEAVE if (block_n % _INTERLEAVE == 0 and _INTERLEAVE > 1) else 1
+    r_sub = r // n_sub
+
     def kernel(a1_ref, *refs):
         # refs layout: W_2, b_2, ..., W_{n_l}, b_{n_l}, W_f, b_f, out_ref
         w_refs = [refs[2 * i] for i in range(n_l - 1)]
@@ -194,36 +200,62 @@ def _make_kernel(
         wf_ref, bf_ref = refs[2 * (n_l - 1)], refs[2 * (n_l - 1) + 1]
         out_ref = refs[2 * n_l]
 
-        masks = _build_masks(r, hw)
-        a1 = a1_ref[...].reshape(r, channels[0]).astype(jnp.float32)
+        # Sub-tile interleaving: split the batch tile into n_sub independent halves
+        # and emit their per-layer ops alternately, giving Mosaic's
+        # scheduler independent MXU work (tile B's conv) to overlap with
+        # VPU work (tile A's LIF/shifts) — the layer chain within one tile
+        # is inherently serial.
+        masks = _build_masks(r_sub, hw)
+        a1_full = a1_ref[...].reshape(r, channels[0]).astype(jnp.float32)
+        a1s = [a1_full[j * r_sub:(j + 1) * r_sub] for j in range(n_sub)]
 
         vs0 = tuple(
-            jnp.full((r, c), p.v_reset, jnp.float32) for c in channels
+            tuple(
+                jnp.full((r_sub, c), p.v_reset, jnp.float32)
+                for c in channels
+            )
+            for _ in range(n_sub)
         )
-        acc0 = jnp.zeros((r, num_classes), jnp.float32)
+        acc0 = tuple(
+            jnp.zeros((r_sub, num_classes), jnp.float32)
+            for _ in range(n_sub)
+        )
 
         def body(_, carry):
-            vs, acc = carry
-            v1, s1 = _lif_step(vs[0], a1, p, dtype)
-            new_vs = [v1]
-            x = s1
+            vs, acc = carry  # vs[j][l], acc[j]
+            s1s, xs, new_vs = [], [], []
+            for j in range(n_sub):
+                v1, s1 = _lif_step(vs[j][0], a1s[j], p, dtype)
+                new_vs.append([v1])
+                s1s.append(s1)
+                xs.append(s1)
             for i in range(1, n_l):
-                z = _conv3x3(x, w_refs[i - 1], b_refs[i - 1], masks, hw)
-                vi, x = _lif_step(vs[i], z, p, dtype)
-                new_vs.append(vi)
+                for j in range(n_sub):
+                    z = _conv3x3(xs[j], w_refs[i - 1], b_refs[i - 1],
+                                 masks, hw)
+                    vi, xs[j] = _lif_step(vs[j][i], z, p, dtype)
+                    new_vs[j].append(vi)
             # U-Net skip: cat(last, first) on channels (vq_diffusion.py:205)
-            cat = jnp.concatenate([x, s1], axis=-1)
-            acc = acc + _conv3x3(cat, wf_ref, bf_ref, masks, hw)
-            return tuple(new_vs), acc
+            new_acc = []
+            for j in range(n_sub):
+                cat = jnp.concatenate([xs[j], s1s[j]], axis=-1)
+                new_acc.append(
+                    acc[j] + _conv3x3(cat, wf_ref, bf_ref, masks, hw)
+                )
+            return (
+                tuple(tuple(v) for v in new_vs),
+                tuple(new_acc),
+            )
 
         if _UNROLL_T:
             carry = (vs0, acc0)
             for _ in range(t_steps):
                 carry = body(0, carry)
-            _, acc = carry
+            _, accs = carry
         else:
-            _, acc = jax.lax.fori_loop(0, t_steps, body, (vs0, acc0))
+            _, accs = jax.lax.fori_loop(0, t_steps, body, (vs0, acc0))
         # firing-rate readout of the logits (vq_diffusion.py:206)
+        acc = accs[0] if n_sub == 1 else jnp.concatenate(accs, axis=0)
         out_ref[...] = (acc / t_steps).reshape(block_n, hw * hw, num_classes)
 
     return kernel
