@@ -330,16 +330,19 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     # the layerwise path elsewhere (and as explicit fallback).
     fused = getattr(args, "fused_sampler", "auto")
     use_fused = fused == "on" or (
-        fused == "auto" and jax.default_backend() not in ("cpu",)
+        fused == "auto" and jax.default_backend() == "tpu"
     )
     if use_fused:
         from spiking_diffusion_tpu.ops.fused_denoiser import (
             make_fused_denoise_fn,
         )
 
+        # eval precision follows the training precision flag — fp32 by
+        # default, bf16 matmuls only under --bf16
         denoise_fused = make_fused_denoise_fn(
             {"params": dstate.params, "batch_stats": dstate.batch_stats},
             d_cfg,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
 
     @jax.jit

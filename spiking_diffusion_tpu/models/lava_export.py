@@ -143,21 +143,14 @@ def _flax_conv_to_netx(kernel: np.ndarray) -> np.ndarray:
 def _folded_conv_blocks(
     variables: Dict[str, Any], n_blocks: int
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """(kernel, bias) per SeqConv_i with its SeqBatchNorm_i folded in."""
-    from spiking_diffusion_tpu.snn.functional import fuse_model_conv_bn
+    """(kernel, bias) per SeqConv_i with its SeqBatchNorm_i folded in
+    (the shared fold-and-walk, also used by the sampling megakernel)."""
+    from spiking_diffusion_tpu.snn.functional import folded_conv_params
 
-    fused = fuse_model_conv_bn(variables)
-    params = fused["params"]
-    out = []
-    for i in range(n_blocks):
-        node = params[f"SeqConv_{i}"]
-        inner = node[next(iter(node))]
-        k = np.asarray(inner["kernel"], np.float32)
-        b = np.asarray(
-            inner.get("bias", np.zeros(k.shape[-1])), np.float32
-        )
-        out.append((k, b))
-    return out
+    return [
+        (np.asarray(k, np.float32), np.asarray(b, np.float32))
+        for k, b in folded_conv_params(variables, n_blocks)
+    ]
 
 
 def denoiser_to_netx(

@@ -53,14 +53,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spiking_diffusion_tpu.config import DiffusionConfig
-from spiking_diffusion_tpu.snn.functional import fuse_model_conv_bn
+from spiking_diffusion_tpu.snn.functional import folded_conv_params
 from spiking_diffusion_tpu.snn.neuron import NeuronParams
 
 _INTERPRET = False  # flipped by tests on CPU
 
 
 def _lif_step(v, a, p: NeuronParams, dtype):
-    """One in-kernel LIF step. v, a fp32; returns (v_next fp32, spike dtype)."""
+    """One in-kernel LIF step. v, a fp32; returns (v_next fp32, spike dtype).
+
+    Deliberately NOT ``snn.neuron.lif_step``: that fires through the
+    surrogate's ``jax.custom_vjp`` (gradient machinery this inference-only
+    kernel must not trace through Pallas); the charge/fire/reset math
+    below mirrors it exactly (tests/test_fused_denoiser.py locks parity).
+    """
     if p.decay_input:
         h = v + (a - (v - p.v_reset)) * p.decay
     else:
@@ -265,29 +271,23 @@ def _extract_folded_weights(variables, n_blocks: int, dtype):
     """Fold BN into convs and pull out (first-conv, per-block, final) weights.
 
     Returns (k1, b1, ws, bs, kf, bf): k1 flax (3,3,Cin,C1) fp32; ws/kf are
-    (9, Cin, Cout) in the compute dtype; biases (1, Cout) fp32.
+    (9, Cin, Cout) in the compute dtype; biases (1, Cout) fp32. The
+    fold-and-walk itself is the shared
+    :func:`snn.functional.folded_conv_params` (also used by the Lava
+    netx exporter). All ops are jnp — safe to trace inside jit, so the
+    folding can happen per call on traced variables.
     """
-    fused = fuse_model_conv_bn(variables)
-    params = fused["params"]
-
-    def kb(name):
-        node = params[name]
-        inner = node[next(iter(node))]
-        k = inner["kernel"]
-        b = inner.get("bias", jnp.zeros((k.shape[-1],), jnp.float32))
-        return k, b
-
-    k1, b1 = kb("SeqConv_0")
+    blocks = folded_conv_params(variables, n_blocks + 1)
+    k1, b1 = blocks[0]
     ws, bs = [], []
-    for i in range(1, n_blocks):
-        k, b = kb(f"SeqConv_{i}")
+    for k, b in blocks[1:-1]:
         ws.append(
             jnp.asarray(k, jnp.float32)
             .reshape(9, k.shape[2], k.shape[3])
             .astype(dtype)
         )
         bs.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
-    kf, bf = kb(f"SeqConv_{n_blocks}")
+    kf, bf = blocks[-1]
     kf = (
         jnp.asarray(kf, jnp.float32)
         .reshape(9, kf.shape[2], kf.shape[3])
@@ -341,53 +341,52 @@ def denoiser_cost(cfg: DiffusionConfig, n: int) -> Tuple[float, float]:
     return flops, bytes_accessed
 
 
-def make_fused_denoise_fn(
-    variables,
+def make_fused_denoise_apply(
     cfg: DiffusionConfig,
     dtype=jnp.bfloat16,
     block_n: int = 8,
     interpret: bool | None = None,
-) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """Build denoise_fn(x_tokens (N,h,w) int, t (N,) int) -> (N,h,w,K) fp32
-    logits running the whole denoiser as one Pallas kernel per batch tile.
+) -> Callable[[dict, jax.Array, jax.Array], jax.Array]:
+    """Build apply_fn(variables, x_tokens (N,h,w) int, t (N,) int) ->
+    (N,h,w,K) fp32 logits running the whole denoiser as one Pallas kernel
+    per batch tile.
 
-    ``variables`` are a trained :class:`SpikingDenoiser`'s variables; BN
-    statistics are folded at closure-build time (eval semantics only).
+    ``variables`` are passed per call (and may be jit tracers) — BN
+    folding is a handful of per-channel jnp ops traced into the same jit,
+    so fresh weights are honored on every invocation.
     """
     if interpret is None:
         interpret = _INTERPRET
     hw = cfg.latent_size
     channels = tuple(cfg.denoiser_channels)
     n_l = len(channels)
-    k1, b1, ws, bs, kf, bf = _extract_folded_weights(variables, n_l, dtype)
-    num_classes = kf.shape[-1]  # == cfg.num_embeddings (final conv width)
+    num_classes = cfg.num_embeddings
     p = cfg.lif.to_params()
     t_steps = cfg.num_steps
 
     kernel = _make_kernel(channels, num_classes, t_steps, hw, block_n, p, dtype)
 
-    # static cost estimate so jit-level cost_analysis (bench MFU) stays
-    # honest — XLA cannot see inside the kernel
+    # per-TILE cost; scaled by the grid size at call time (Mosaic passes
+    # the estimate through unscaled) so cost_analysis of the compiled fn
+    # reflects the whole megakernel, not one tile
     r = block_n * hw * hw
-    flops_step = 0
+    flops_tile = 0
     for i in range(1, n_l):
-        flops_step += 2 * r * 9 * channels[i - 1] * channels[i]
-    flops_step += 2 * r * 9 * (channels[-1] + channels[0]) * num_classes
-    w_bytes = sum(int(w.size) * w.dtype.itemsize for w in ws) + int(kf.size) * kf.dtype.itemsize
-    cost = pl.CostEstimate(
-        flops=int(flops_step) * t_steps,
-        bytes_accessed=int(
-            r * channels[0] * 4 + r * num_classes * 4 + w_bytes
-        ),
-        transcendentals=0,
-    )
+        flops_tile += 2 * r * 9 * channels[i - 1] * channels[i]
+    flops_tile += 2 * r * 9 * (channels[-1] + channels[0]) * num_classes
+    flops_tile *= t_steps
+    w_elems = sum(9 * channels[i - 1] * channels[i] for i in range(1, n_l))
+    w_elems += 9 * (channels[-1] + channels[0]) * num_classes
+    itemsize = jnp.dtype(dtype).itemsize
+    bytes_tile = r * channels[0] * 4 + r * num_classes * 4 + w_elems * itemsize
 
-    weight_args = []
-    for w, b in zip(ws, bs):
-        weight_args.extend([w, b])
-    weight_args.extend([kf, bf])
+    def denoise(variables, x_tokens: jax.Array, t: jax.Array) -> jax.Array:
+        k1, b1, ws, bs, kf, bf = _extract_folded_weights(variables, n_l, dtype)
+        weight_args = []
+        for w, b in zip(ws, bs):
+            weight_args.extend([w, b])
+        weight_args.extend([kf, bf])
 
-    def denoise(x_tokens: jax.Array, t: jax.Array) -> jax.Array:
         n = x_tokens.shape[0]
         a1 = _first_preactivation(x_tokens, t, k1, b1, hw)
         n_pad = -n % block_n
@@ -396,7 +395,12 @@ def make_fused_denoise_fn(
                 [a1, jnp.zeros((n_pad,) + a1.shape[1:], a1.dtype)], axis=0
             )
         n_full = n + n_pad
-        grid = (n_full // block_n,)
+        n_tiles = n_full // block_n
+        cost = pl.CostEstimate(
+            flops=int(flops_tile) * n_tiles,
+            bytes_accessed=int(bytes_tile) * n_tiles,
+            transcendentals=0,
+        )
         in_specs = [
             pl.BlockSpec(
                 (block_n, hw * hw, channels[0]),
@@ -414,7 +418,7 @@ def make_fused_denoise_fn(
             )
         out = pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (block_n, hw * hw, num_classes),
@@ -430,6 +434,19 @@ def make_fused_denoise_fn(
         return out[:n].reshape(n, hw, hw, num_classes)
 
     return denoise
+
+
+def make_fused_denoise_fn(
+    variables,
+    cfg: DiffusionConfig,
+    dtype=jnp.bfloat16,
+    block_n: int = 8,
+    interpret: bool | None = None,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """:func:`make_fused_denoise_apply` with ``variables`` bound — the
+    (x_tokens, t) -> logits signature the diffusion sampler consumes."""
+    apply_fn = make_fused_denoise_apply(cfg, dtype, block_n, interpret)
+    return functools.partial(apply_fn, variables)
 
 
 def mirror_denoise_fn(

@@ -112,6 +112,26 @@ def fuse_model_conv_bn(variables: Dict[str, Any], eps: float = 1e-5) -> Dict[str
     return out
 
 
+def folded_conv_params(variables: Dict[str, Any], n_blocks: int):
+    """BN-folded (kernel, bias) per ``SeqConv_i``, i in [0, n_blocks).
+
+    Shared weight-walk for every consumer of eval-time conv+BN folding
+    (the sampling megakernel, the Lava netx exporter): fold with
+    :func:`fuse_model_conv_bn`, then pull each block's flax kernel
+    (kh, kw, cin, cout) and bias out of the conv->BN naming convention.
+    """
+    fused = fuse_model_conv_bn(variables)
+    params = fused["params"]
+    out = []
+    for i in range(n_blocks):
+        node = params[f"SeqConv_{i}"]
+        inner = node[next(iter(node))]
+        k = inner["kernel"]
+        b = inner.get("bias", jnp.zeros((k.shape[-1],), jnp.float32))
+        out.append((k, b))
+    return out
+
+
 def _to_mutable(tree):
     if isinstance(tree, dict) or hasattr(tree, "items"):
         return {k: _to_mutable(v) for k, v in tree.items()}

@@ -145,6 +145,7 @@ def sample_codes(
     sample_steps: Optional[int] = None,
     data_parallel: int = 1,
     fused: bool = False,
+    fused_dtype=None,
 ) -> jax.Array:
     """Generate (N, h, w) code grids from a trained denoiser state.
 
@@ -153,8 +154,10 @@ def sample_codes(
     runs its slice through the same 49-step scan).
 
     ``fused=True`` samples through the whole-denoiser Pallas megakernel
-    (``ops/fused_denoiser.py``). A Pallas custom call is opaque to GSPMD
-    auto-partitioning, so the data-parallel fused path uses ``shard_map``:
+    (``ops/fused_denoiser.py``), in fp32 unless ``fused_dtype`` says
+    otherwise (match it to the training dtype). A Pallas custom call is
+    opaque to GSPMD auto-partitioning, so the data-parallel fused path
+    uses ``shard_map``:
     every device runs its own kernel on its local batch shard, with the
     RNG key folded by device index (sample streams therefore differ from
     the single-device run — same distribution, different draws).
@@ -162,11 +165,16 @@ def sample_codes(
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if fused:
+        import jax.numpy as jnp
+
         from spiking_diffusion_tpu.ops.fused_denoiser import (
             make_fused_denoise_fn,
         )
 
-        denoise = make_fused_denoise_fn(variables, cfg)
+        denoise = make_fused_denoise_fn(
+            variables, cfg,
+            dtype=jnp.float32 if fused_dtype is None else fused_dtype,
+        )
     else:
         def denoise(x_t, t):
             return state.apply_fn(variables, x_t, t, train=False)

@@ -37,21 +37,26 @@ CFG = DiffusionConfig(
 
 def _trained_variables(cfg=CFG, seed=0, n_updates=3):
     """Init a denoiser and push a few train-mode batches through it so the
-    BN running statistics are non-identity (exercises the folding)."""
+    BN running statistics are non-identity (exercises the folding).
+    Everything jitted (CLAUDE.md: never run unjitted model code)."""
     model = SpikingDenoiser(cfg, backend="scan")
     key = jax.random.PRNGKey(seed)
     x0 = jax.random.randint(key, (4, cfg.latent_size, cfg.latent_size), 0,
                             cfg.mask_id + 1, jnp.int32)
     t0 = jax.random.randint(key, (4,), 1, cfg.num_timesteps + 1)
-    variables = model.init(key, x0, t0, train=True)
+    variables = jax.jit(
+        lambda k, x, t: model.init(k, x, t, train=True)
+    )(key, x0, t0)
+    train_apply = jax.jit(
+        lambda v, x, t: model.apply(v, x, t, train=True,
+                                    mutable=["batch_stats"])
+    )
     for i in range(n_updates):
         k = jax.random.PRNGKey(seed + 1 + i)
         xb = jax.random.randint(k, (4, cfg.latent_size, cfg.latent_size), 0,
                                 cfg.mask_id + 1, jnp.int32)
         tb = jax.random.randint(k, (4,), 1, cfg.num_timesteps + 1)
-        _, updated = model.apply(
-            variables, xb, tb, train=True, mutable=["batch_stats"]
-        )
+        _, updated = train_apply(variables, xb, tb)
         variables = {**variables, "batch_stats": updated["batch_stats"]}
     return model, variables
 
@@ -71,8 +76,8 @@ def test_kernel_matches_mirror():
     fused = fused_denoiser.make_fused_denoise_fn(
         variables, CFG, dtype=jnp.float32, block_n=4
     )
-    ref = np.asarray(mirror(x, t))
-    out = np.asarray(fused(x, t))
+    ref = np.asarray(jax.jit(mirror)(x, t))
+    out = np.asarray(jax.jit(fused)(x, t))
     assert out.shape == ref.shape == (8, 7, 7, 10)
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
@@ -86,7 +91,7 @@ def test_kernel_batch_padding():
         variables, CFG, dtype=jnp.float32, block_n=4
     )
     np.testing.assert_allclose(
-        np.asarray(fused(x, t)), np.asarray(mirror(x, t)),
+        np.asarray(jax.jit(fused)(x, t)), np.asarray(jax.jit(mirror)(x, t)),
         atol=1e-5, rtol=1e-5,
     )
 
@@ -101,7 +106,7 @@ def test_mirror_matches_real_denoiser():
         )
     )
     mirror = fused_denoiser.mirror_denoise_fn(variables, CFG)
-    out = np.asarray(mirror(x, t))
+    out = np.asarray(jax.jit(mirror)(x, t))
     # identical math up to BN-folding reassociation (one fp32 rounding per
     # channel scale); a knife-edge membrane could flip a spike, so allow a
     # loose absolute tolerance plus an exact-match majority check

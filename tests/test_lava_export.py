@@ -43,7 +43,7 @@ def _denoiser_vars():
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((2, 7, 7), jnp.int32)
     t0 = jnp.ones((2,), jnp.int32)
-    return model.init(key, x0, t0, train=True)
+    return jax.jit(lambda k: model.init(k, x0, t0, train=True))(key)
 
 
 def test_denoiser_netx_roundtrip(tmp_path):
@@ -90,7 +90,7 @@ def test_encoder_netx(tmp_path):
     model = SNNVQVAE(cfg, backend="scan")
     key = jax.random.PRNGKey(1)
     img = jnp.zeros((2, 28, 28, 1), jnp.float32)
-    variables = model.init(key, img, train=True)
+    variables = jax.jit(lambda k: model.init(k, img, train=True))(key)
     path = str(tmp_path / "encoder.net")
     lava_export.encoder_to_netx(variables, cfg, path)
     with h5py.File(path, "r") as f:
