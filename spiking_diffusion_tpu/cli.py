@@ -105,6 +105,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="synthetic-fallback train set size (no IDX files)")
     p.add_argument("--synthetic_test", type=int, default=512,
                    help="synthetic-fallback test set size")
+    p.add_argument("--temperatures", default=None,
+                   help="comma-separated sampling temperatures for the "
+                        "eval sweep (default: the reference's 12-point "
+                        "sweep, main.py:418-421)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv activations/spikes (membranes stay "
                         "fp32); ~25%% faster train step on TPU")
@@ -124,6 +128,9 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.temperatures:
+        global TEMPERATURES
+        TEMPERATURES = [float(x) for x in args.temperatures.split(",")]
     np.random.seed(args.seed)
     root_key = jax.random.PRNGKey(args.seed)
 
