@@ -179,18 +179,31 @@ def main():
     )
     mfu = round(flops / dt_iter / _PEAK_FLOPS, 4) if flops else None
     hbm = round(hbm_bytes / dt_iter / _PEAK_HBM, 4) if hbm_bytes else None
-    print(
-        json.dumps(
-            {
-                "metric": "generated_images_per_sec_per_chip",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / _reference_img_per_sec(), 2),
-                "mfu": mfu,
-                "hbm_util": hbm,
-            }
+    record = {
+        "metric": "generated_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / _reference_img_per_sec(), 2),
+        "mfu": mfu,
+        "hbm_util": hbm,
+    }
+    if os.environ.get("BENCH_ENERGY", "0") == "1":
+        # spike-aware AC/MAC energy per generated image (45nm pJ model,
+        # the reference's syops convention) — optional: needs an extra
+        # layerwise sampler compile
+        from spiking_diffusion_tpu.profiling.syops import generation_energy
+
+        e = generation_energy(
+            denoiser, d_vars, model, m_vars, d_cfg,
+            jax.random.PRNGKey(7), n_samples=64,
         )
-    )
+        record["energy_uJ_per_img"] = round(
+            float(e["energy_uJ_per_img"]), 2
+        )
+        record["denoiser_spike_rate"] = round(
+            float(e["denoiser_spike_rate"]), 4
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -117,7 +117,12 @@ def profile_apply(model, variables, *args, **kwargs):
         mutable = list(mutable) + ["syops"]
     else:
         mutable = [mutable, "syops"]
-    out, mut = model.apply(variables, *args, mutable=mutable, **kwargs)
+    # jit the instrumented apply: the counters are tiny scalars, and an
+    # eager per-op dispatch is prohibitive on the remote-TPU tunnel
+    fn = jax.jit(
+        lambda v, *a: model.apply(v, *a, mutable=mutable, **kwargs)
+    )
+    out, mut = fn(variables, *args)
     per_layer = collect(mut.get("syops", {}))
     return out, per_layer, totals(per_layer)
 
@@ -170,3 +175,66 @@ def format_report(
         f"{total['energy_mJ']:.4f} mJ  (ACs*{E_AC_PJ} + MACs*{E_MAC_PJ} pJ)"
     )
     return "\n".join(lines)
+
+
+def generation_energy(
+    denoiser,
+    d_vars,
+    model,
+    m_vars,
+    d_cfg,
+    key,
+    n_samples: int = 64,
+    probe_steps: Tuple[int, ...] = (49, 37, 25, 13, 1),
+):
+    """Spike-aware op/energy estimate for ONE generated image through the
+    full pipeline: ``num_timesteps`` denoiser forwards + the VQ decode.
+
+    The reference's energy table profiles single forwards; generation cost
+    is what a deployment pays, so this extends the same protocol: sample
+    real code grids, re-corrupt them at a few probe timesteps (the
+    sampler's actual state distribution at step t is "codes masked w.p.
+    t/T"), average the denoiser's AC/MAC counters over the probes, scale
+    by the step count, and add one decode. Returns a dict with
+    ``acs``/``macs``/``energy_uJ`` per image and the probe spike rate.
+    """
+    from spiking_diffusion_tpu.models import diffusion
+
+    def denoise(x_t, t):
+        return denoiser.apply(d_vars, x_t, t, train=False)
+
+    codes = jax.jit(
+        lambda k: diffusion.sample(
+            k, denoise, d_cfg, n_samples=n_samples, temperature=0.8
+        )
+    )(key)
+
+    den_tot = {"ops": 0.0, "acs": 0.0, "macs": 0.0, "rate": 0.0}
+    for t in probe_steps:
+        kt = jax.random.fold_in(key, t)
+        t_vec = jnp.full((n_samples,), t, jnp.int32)
+        x_t, _, _ = diffusion.q_sample(
+            kt, codes, t_vec, d_cfg.mask_id, d_cfg.num_timesteps
+        )
+        _, _, tot = profile_apply(denoiser, d_vars, x_t, t_vec, train=False)
+        den_tot["ops"] += tot["ops"]
+        den_tot["acs"] += tot["acs"]
+        den_tot["macs"] += tot["macs"]
+        den_tot["rate"] += tot["mean_spike_rate"]
+    n_probe = len(probe_steps)
+    for k in den_tot:
+        den_tot[k] /= n_probe
+
+    _, _, dec_tot = profile_apply(
+        model, m_vars, codes, method="decode_indices"
+    )
+
+    steps = d_cfg.num_timesteps
+    acs = (den_tot["acs"] * steps + dec_tot["acs"]) / n_samples
+    macs = (den_tot["macs"] * steps + dec_tot["macs"]) / n_samples
+    return {
+        "acs_per_img": acs,
+        "macs_per_img": macs,
+        "energy_uJ_per_img": (acs * E_AC_PJ + macs * E_MAC_PJ) * 1e-6,
+        "denoiser_spike_rate": den_tot["rate"],
+    }

@@ -120,3 +120,32 @@ def test_profile_dataset_averages():
     # empty loader degrades gracefully
     pl0, t0 = syops.profile_dataset(model, variables, [], train=False)
     assert pl0 == {} and t0["ops"] == 0
+
+
+def test_generation_energy():
+    """Pipeline energy estimate: sampler-state probes + decode, per image."""
+    import jax
+
+    from spiking_diffusion_tpu.config import DiffusionConfig, VQVAEConfig
+    from spiking_diffusion_tpu.models import SNNVQVAE, SpikingDenoiser
+
+    dcfg = DiffusionConfig(num_timesteps=4, num_embeddings=8, mask_id=8,
+                           num_steps=2, denoiser_channels=(4, 4, 4, 4, 4))
+    vcfg = VQVAEConfig(num_steps=2, embedding_dim=4, num_embeddings=8,
+                       enc_channels=(4, 8), dec_channels=(8, 4))
+    key = jax.random.PRNGKey(0)
+    den = SpikingDenoiser(dcfg, backend="scan")
+    d_vars = jax.jit(lambda k: den.init(
+        k, jnp.zeros((2, 7, 7), jnp.int32), jnp.ones((2,), jnp.int32),
+        train=True))(key)
+    model = SNNVQVAE(vcfg, backend="scan")
+    m_vars = jax.jit(lambda k: model.init(
+        k, jnp.zeros((2, 28, 28, 1)), train=True))(key)
+
+    e = syops.generation_energy(
+        den, d_vars, model, m_vars, dcfg, key,
+        n_samples=4, probe_steps=(4, 2, 1),
+    )
+    assert e["energy_uJ_per_img"] > 0
+    assert e["acs_per_img"] > 0 and e["macs_per_img"] > 0
+    assert 0 < e["denoiser_spike_rate"] < 1
