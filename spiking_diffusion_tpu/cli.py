@@ -323,6 +323,21 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     real = ds.test_images[: 1280]
     real_feats, _ = feature_fn(real)
 
+    # Self-calibration anchor: FID between two halves of the real set in
+    # THIS feature space. LeNet-FID values are only meaningful relative to
+    # this floor (retraining the feature net rescales all distances, so
+    # absolute FIDs are not comparable across runs/rounds without it).
+    held = ds.test_images[1280: 1280 + len(real)]
+    if len(held) >= 256:
+        held_feats, _ = feature_fn(held)
+        null_fid = round(fid_from_features(real_feats, held_feats), 4)
+    else:
+        half = len(real) // 2
+        null_fid = round(
+            fid_from_features(real_feats[:half], real_feats[half:]), 4
+        )
+    print(f"null FID (real vs real, n={len(real)}): {null_fid}")
+
     # The reference generates 16 images per sampler call (80 calls per
     # temperature, each a full 49-step loop at batch 16 — ``main.py:384``).
     # On TPU the 49 sequential steps have fixed per-step cost that a tiny
@@ -409,6 +424,7 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
         results[temp] = entry
         print(f"temp={temp}: {entry}")
 
+    results["null_FID"] = null_fid
     with open(os.path.join(sample_path, "metrics.json"), "w") as f:
         json.dump(results, f, indent=2)
     print("metrics written to", os.path.join(sample_path, "metrics.json"))
