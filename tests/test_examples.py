@@ -59,3 +59,16 @@ def test_rl_example(capsys):
     _run("examples/rl_cartpole_dqn.py", ["--episodes", "12"])
     out = capsys.readouterr().out
     assert "mean return" in out
+
+
+def test_deploy_netx_example(tmp_path):
+    _run("examples/deploy_netx.py",
+         ["--out", str(tmp_path), "--codebook_size", "8",
+          "--num_steps", "2"])
+    import h5py
+
+    for name in ("denoiser.net", "encoder.net"):
+        with h5py.File(tmp_path / name, "r") as f:
+            assert "layer" in f and "0" in f["layer"]
+    assert (tmp_path / "svae.json").exists()
+    assert (tmp_path / "svae.npz").exists()
