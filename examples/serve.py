@@ -59,14 +59,33 @@ class Generator:
         self._lock = threading.Lock()
         self._key = jax.random.PRNGKey(1234)
 
+        # production sampler: the whole-denoiser Pallas megakernel on TPU
+        # (weights/membranes VMEM-resident across the T loop), layerwise
+        # elsewhere
+        if jax.default_backend() == "tpu":
+            from spiking_diffusion_tpu.ops.fused_denoiser import (
+                make_fused_denoise_fn,
+            )
+
+            fused_denoise = make_fused_denoise_fn(
+                {"params": self.dstate.params,
+                 "batch_stats": self.dstate.batch_stats},
+                self.d_cfg, dtype=jnp.float32,
+            )
+        else:
+            fused_denoise = None
+
         @jax.jit
         def generate(key, temperature):
-            def denoise(x_t, t):
-                return self.dstate.apply_fn(
-                    {"params": self.dstate.params,
-                     "batch_stats": self.dstate.batch_stats},
-                    x_t, t, train=False,
-                )
+            if fused_denoise is not None:
+                denoise = fused_denoise
+            else:
+                def denoise(x_t, t):
+                    return self.dstate.apply_fn(
+                        {"params": self.dstate.params,
+                         "batch_stats": self.dstate.batch_stats},
+                        x_t, t, train=False,
+                    )
 
             codes = diffusion.sample(
                 key, denoise, self.d_cfg, n_samples=batch,

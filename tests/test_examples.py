@@ -72,3 +72,43 @@ def test_deploy_netx_example(tmp_path):
             assert "layer" in f and "0" in f["layer"]
     assert (tmp_path / "svae.json").exists()
     assert (tmp_path / "svae.npz").exists()
+
+
+@pytest.mark.slow
+def test_serve_example_generator(tmp_path):
+    """The HTTP-serving shim's Generator: checkpoint load + warm sampler."""
+    import importlib.util
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from spiking_diffusion_tpu.config import DiffusionConfig, VQVAEConfig
+    from spiking_diffusion_tpu.models import SNNVQVAE, SpikingDenoiser
+    from spiking_diffusion_tpu.train import create_train_state
+    from spiking_diffusion_tpu.train.checkpoint import save_checkpoint
+
+    num_steps, codebook = 2, 8
+    key = jax.random.PRNGKey(0)
+    model = SNNVQVAE(VQVAEConfig(num_steps=num_steps,
+                                 num_embeddings=codebook), backend="auto")
+    st = create_train_state(model, jax.jit(
+        lambda k: model.init(k, jnp.zeros((2, 28, 28, 1)), train=True))(key))
+    save_checkpoint(st, str(tmp_path), "model")
+    dcfg = DiffusionConfig(num_embeddings=codebook, mask_id=codebook,
+                           num_steps=num_steps)
+    den = SpikingDenoiser(dcfg, backend="auto")
+    dst = create_train_state(den, jax.jit(
+        lambda k: den.init(k, jnp.zeros((2, 7, 7), jnp.int32),
+                           jnp.ones((2,), jnp.int32), train=True))(key))
+    save_checkpoint(dst, str(tmp_path / "diff_result"), "diff_model")
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_mod", os.path.join("examples", "serve.py"))
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    gen = serve.Generator(str(tmp_path), batch=4, num_steps=num_steps,
+                          codebook=codebook)
+    imgs = gen.sample(2, 0.8)
+    assert imgs.shape[0] == 2 and imgs.shape[1:3] == (28, 28)
+    assert np.isfinite(imgs).all()
