@@ -183,7 +183,7 @@ def load_dataset(
 
         return load_cifar10(
             data_path, grayscale=(name == "CIFAR10-BW"),
-            synthetic_ok=synthetic_ok,
+            synthetic_ok=synthetic_ok, synthetic_size=synthetic_size,
         )
     if name not in _IDX_FILES:
         raise ValueError(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -48,6 +48,7 @@ def load_cifar10(
     image_size: int = 28,
     grayscale: bool = False,
     synthetic_ok: bool = True,
+    synthetic_size: Tuple[int, int] = (2048, 512),
 ) -> Dataset:
     """CIFAR-10 from the python pickle batches, resized to 28x28
     (``load_dataset_snn.py:69-94``); ``grayscale=True`` gives the BW
@@ -63,7 +64,8 @@ def load_cifar10(
         if not synthetic_ok:
             raise FileNotFoundError("cifar-10-batches-py not found")
         ch = 1 if grayscale else 3
-        ds = synthetic_dataset(name, n_train=2048, n_test=512, num_classes=10,
+        ds = synthetic_dataset(name, n_train=synthetic_size[0],
+                               n_test=synthetic_size[1], num_classes=10,
                                image_size=image_size)
         if ch == 3:
             tri = np.repeat(ds.train_images, 3, axis=-1)
