@@ -161,16 +161,25 @@ def main():
     gen, m_vars, d_vars, denoiser, model, d_cfg, _fused_apply = build()
     key = jax.random.PRNGKey(42)
 
-    # compile + warmup (host-materialize: on this platform
-    # block_until_ready does not reliably track async work — a device->host
-    # copy is the only sound synchronization point)
+    # compile + warmup with one FULL host materialization (validates the
+    # output; on this platform block_until_ready does not reliably track
+    # async work — a device->host transfer is the only sound sync point)
     out = np.asarray(gen(m_vars, d_vars, key))
+    assert np.isfinite(out).all()
 
+    # timed loop syncs on an in-jit scalar: equally sound (the reduction
+    # depends on every output element) without paying the measurement
+    # tunnel's ~35 MB/s for a full image copy per iteration
+    gen_sum = jax.jit(
+        lambda mv, dv, k: jnp.sum(gen(mv, dv, k).astype(jnp.float32))
+    )
+    float(gen_sum(m_vars, d_vars, key))  # warm the reduced variant
     t0 = time.perf_counter()
     for i in range(N_ITERS):
         key, k = jax.random.split(key)
-        out = np.asarray(gen(m_vars, d_vars, k))
+        s = float(gen_sum(m_vars, d_vars, k))
     dt = time.perf_counter() - t0
+    assert np.isfinite(s)
 
     img_per_sec = BATCH * N_ITERS / dt
     dt_iter = dt / N_ITERS

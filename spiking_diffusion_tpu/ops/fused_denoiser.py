@@ -429,6 +429,11 @@ def make_fused_denoise_apply(
                 (n_full, hw * hw, num_classes), jnp.float32
             ),
             cost_estimate=cost,
+            # larger tiles need more than Mosaic's default 16 MB scoped
+            # VMEM budget; harmless for block_n=8 (fits either way)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ) if not interpret else None,
             interpret=interpret,
         )(a1, *weight_args)
         return out[:n].reshape(n, hw, hw, num_classes)
