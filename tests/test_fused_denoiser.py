@@ -132,3 +132,25 @@ def test_kernel_under_jit_and_sampler():
     codes = np.asarray(gen(jax.random.PRNGKey(0)))
     assert codes.shape == (5, 7, 7)
     assert codes.min() >= 0 and codes.max() < CFG.mask_id + 1
+
+
+def test_kernel_interleave_mode_matches_mirror():
+    """The sub-tile-interleave experiment path stays parity-locked even
+    though it is off by default (block_n=4 splits into two 2-sample
+    halves)."""
+    old = fused_denoiser._INTERLEAVE
+    fused_denoiser._INTERLEAVE = 2
+    try:
+        _, variables = _trained_variables(seed=5)
+        x, t = _batch(n=8, seed=11)
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.float32, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._INTERLEAVE = old
