@@ -105,6 +105,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="synthetic-fallback train set size (no IDX files)")
     p.add_argument("--synthetic_test", type=int, default=512,
                    help="synthetic-fallback test set size")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="reverse-diffusion steps for generation (default: "
+                        "num_timesteps=49, the reference's fixed count); "
+                        "fewer steps trade quality for throughput")
     p.add_argument("--temperatures", default=None,
                    help="comma-separated sampling temperatures for the "
                         "eval sweep (default: the reference's 12-point "
@@ -380,7 +384,8 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
                 )
 
         codes = diffusion.sample(
-            key, denoise, d_cfg, n_samples=chunk, temperature=temp
+            key, denoise, d_cfg, n_samples=chunk, temperature=temp,
+            sample_steps=args.sample_steps,
         )
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
