@@ -72,9 +72,14 @@ DTYPE = _jnp.bfloat16
 # The sampler's denoiser runs as the whole-network fused Pallas megakernel
 # (ops/fused_denoiser.py): all conv blocks + LIF recurrences + skip +
 # logits readout inside one kernel per batch tile, weights and membranes
-# VMEM-resident across the T loop. Set BENCH_FUSED=0 to use the layerwise
-# path.
-USE_FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
+# VMEM-resident across the T loop. Default "auto" = fused on TPU only (a
+# Pallas call with TPU compiler params cannot lower elsewhere);
+# BENCH_FUSED=0 forces the layerwise path, =1 forces fused.
+_FUSED_ENV = os.environ.get("BENCH_FUSED", "auto")
+USE_FUSED = (
+    _FUSED_ENV == "1"
+    or (_FUSED_ENV not in ("0",) and jax.default_backend() == "tpu")
+)
 
 
 def build(dtype=DTYPE):

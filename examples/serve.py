@@ -61,32 +61,18 @@ class Generator:
 
         # production sampler: the whole-denoiser Pallas megakernel on TPU
         # (weights/membranes VMEM-resident across the T loop), layerwise
-        # elsewhere
-        if jax.default_backend() == "tpu":
-            from spiking_diffusion_tpu.ops.fused_denoiser import (
-                make_fused_denoise_fn,
-            )
+        # elsewhere — one shared selection helper
+        from spiking_diffusion_tpu.ops.fused_denoiser import make_denoise_fn
 
-            fused_denoise = make_fused_denoise_fn(
-                {"params": self.dstate.params,
-                 "batch_stats": self.dstate.batch_stats},
-                self.d_cfg, dtype=jnp.float32,
-            )
-        else:
-            fused_denoise = None
+        denoise = make_denoise_fn(
+            {"params": self.dstate.params,
+             "batch_stats": self.dstate.batch_stats},
+            self.d_cfg, self.dstate.apply_fn, fused="auto",
+            dtype=jnp.float32,
+        )
 
         @jax.jit
         def generate(key, temperature):
-            if fused_denoise is not None:
-                denoise = fused_denoise
-            else:
-                def denoise(x_t, t):
-                    return self.dstate.apply_fn(
-                        {"params": self.dstate.params,
-                         "batch_stats": self.dstate.batch_stats},
-                        x_t, t, train=False,
-                    )
-
             codes = diffusion.sample(
                 key, denoise, self.d_cfg, n_samples=batch,
                 temperature=temperature,

@@ -132,9 +132,12 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     enable_compilation_cache()
     args = parse_args(argv)
-    if args.temperatures:
-        global TEMPERATURES
-        TEMPERATURES = [float(x) for x in args.temperatures.split(",")]
+    # resolve the sweep without mutating the module global (a second
+    # in-process main() must see the default again)
+    args.sweep_temperatures = (
+        [float(x) for x in args.temperatures.split(",")]
+        if args.temperatures else list(TEMPERATURES)
+    )
     np.random.seed(args.seed)
     root_key = jax.random.PRNGKey(args.seed)
 
@@ -353,36 +356,19 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
 
     # Sampler backend: the whole-denoiser Pallas megakernel (VMEM-resident
     # weights/membranes across the T loop — ops/fused_denoiser.py) on TPU;
-    # the layerwise path elsewhere (and as explicit fallback).
-    fused = getattr(args, "fused_sampler", "auto")
-    use_fused = fused == "on" or (
-        fused == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_fused:
-        from spiking_diffusion_tpu.ops.fused_denoiser import (
-            make_fused_denoise_fn,
-        )
+    # the layerwise path elsewhere. Eval precision follows --bf16.
+    from spiking_diffusion_tpu.ops.fused_denoiser import make_denoise_fn
 
-        # eval precision follows the training precision flag — fp32 by
-        # default, bf16 matmuls only under --bf16
-        denoise_fused = make_fused_denoise_fn(
-            {"params": dstate.params, "batch_stats": dstate.batch_stats},
-            d_cfg,
-            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        )
+    fused = getattr(args, "fused_sampler", "auto")
+    denoise = make_denoise_fn(
+        {"params": dstate.params, "batch_stats": dstate.batch_stats},
+        d_cfg, dstate.apply_fn,
+        fused=True if fused == "on" else (False if fused == "off" else "auto"),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
 
     @jax.jit
     def gen_chunk(key, temp):
-        if use_fused:
-            denoise = denoise_fused
-        else:
-            def denoise(x_t, t):
-                return dstate.apply_fn(
-                    {"params": dstate.params,
-                     "batch_stats": dstate.batch_stats},
-                    x_t, t, train=False,
-                )
-
         codes = diffusion.sample(
             key, denoise, d_cfg, n_samples=chunk, temperature=temp,
             sample_steps=args.sample_steps,
@@ -394,7 +380,7 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
 
     results = {}
     key = jax.random.PRNGKey(args.seed + 1)
-    for temp in TEMPERATURES:
+    for temp in getattr(args, "sweep_temperatures", TEMPERATURES):
         t0 = time.time()
         chunks = []
         produced = 0

@@ -499,3 +499,36 @@ def mirror_denoise_fn(
         return out.reshape(n, hw, hw, kf.shape[-1])
 
     return denoise
+
+
+def make_denoise_fn(
+    variables,
+    cfg: DiffusionConfig,
+    apply_fn,
+    fused="auto",
+    dtype=jnp.float32,
+    block_n: int = 8,
+    interpret: bool | None = None,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """The one place that picks the sampling backend.
+
+    ``fused``: True | False | "auto" (megakernel on TPU only — a Pallas
+    call with TPU compiler params cannot lower elsewhere). ``apply_fn`` is
+    the layerwise fallback, ``apply_fn(variables, x_tokens, t,
+    train=False)`` (e.g. ``SpikingDenoiser.apply`` or a TrainState's
+    ``apply_fn``). Used by bench.py, the CLI eval sweep, the serving
+    example, and ``train.stage2.sample_codes``.
+    """
+    use = fused is True or (
+        fused == "auto" and jax.default_backend() == "tpu"
+    )
+    if use:
+        return make_fused_denoise_fn(
+            variables, cfg, dtype=dtype, block_n=block_n,
+            interpret=interpret,
+        )
+
+    def denoise(x_tokens, t):
+        return apply_fn(variables, x_tokens, t, train=False)
+
+    return denoise

@@ -105,6 +105,9 @@ def count_params(params: Any) -> int:
     return int(sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params)))
 
 
+_PROFILE_JIT_CACHE: Dict[Any, Any] = {}
+
+
 def profile_apply(model, variables, *args, **kwargs):
     """Run ``model.apply`` collecting the syops counters.
 
@@ -117,11 +120,21 @@ def profile_apply(model, variables, *args, **kwargs):
         mutable = list(mutable) + ["syops"]
     else:
         mutable = [mutable, "syops"]
-    # jit the instrumented apply: the counters are tiny scalars, and an
-    # eager per-op dispatch is prohibitive on the remote-TPU tunnel
-    fn = jax.jit(
-        lambda v, *a: model.apply(v, *a, mutable=mutable, **kwargs)
-    )
+    # jit the instrumented apply (eager per-op dispatch is prohibitive on
+    # the remote-TPU tunnel), CACHED per (model, mutable, kwargs) so
+    # repeated profiling — generation_energy probes, profile_dataset
+    # loops — reuses one compilation instead of retracing every call
+    try:
+        cache_key = (model, tuple(mutable), tuple(sorted(kwargs.items())))
+        fn = _PROFILE_JIT_CACHE.get(cache_key)
+    except TypeError:  # unhashable kwarg — fall back to uncached
+        cache_key, fn = None, None
+    if fn is None:
+        fn = jax.jit(
+            lambda v, *a: model.apply(v, *a, mutable=mutable, **kwargs)
+        )
+        if cache_key is not None:
+            _PROFILE_JIT_CACHE[cache_key] = fn
     out, mut = fn(variables, *args)
     per_layer = collect(mut.get("syops", {}))
     return out, per_layer, totals(per_layer)
@@ -185,7 +198,7 @@ def generation_energy(
     d_cfg,
     key,
     n_samples: int = 64,
-    probe_steps: Tuple[int, ...] = (49, 37, 25, 13, 1),
+    probe_steps: Tuple[int, ...] | None = None,
 ):
     """Spike-aware op/energy estimate for ONE generated image through the
     full pipeline: ``num_timesteps`` denoiser forwards + the VQ decode.
@@ -199,6 +212,16 @@ def generation_energy(
     ``acs``/``macs``/``energy_uJ`` per image and the probe spike rate.
     """
     from spiking_diffusion_tpu.models import diffusion
+
+    if probe_steps is None:
+        # 5 probes spread over the schedule, derived from the config (a
+        # fixed list would silently probe t > num_timesteps on smaller
+        # schedules, i.e. mask probabilities > 1)
+        t_max = d_cfg.num_timesteps
+        probe_steps = tuple(sorted(
+            {max(1, round(t_max * f)) for f in (1.0, 0.75, 0.5, 0.25, 0.02)},
+            reverse=True,
+        ))
 
     def denoise(x_t, t):
         return denoiser.apply(d_vars, x_t, t, train=False)

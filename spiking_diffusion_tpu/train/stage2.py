@@ -163,21 +163,15 @@ def sample_codes(
     the single-device run — same distribution, different draws).
     """
 
+    import jax.numpy as jnp
+
+    from spiking_diffusion_tpu.ops.fused_denoiser import make_denoise_fn
+
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if fused:
-        import jax.numpy as jnp
-
-        from spiking_diffusion_tpu.ops.fused_denoiser import (
-            make_fused_denoise_fn,
-        )
-
-        denoise = make_fused_denoise_fn(
-            variables, cfg,
-            dtype=jnp.float32 if fused_dtype is None else fused_dtype,
-        )
-    else:
-        def denoise(x_t, t):
-            return state.apply_fn(variables, x_t, t, train=False)
+    denoise = make_denoise_fn(
+        variables, cfg, state.apply_fn, fused=bool(fused),
+        dtype=jnp.float32 if fused_dtype is None else fused_dtype,
+    )
 
     if data_parallel > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -188,8 +182,6 @@ def sample_codes(
             raise ValueError("n_samples must divide by data_parallel")
         mesh = make_mesh(data_parallel)
         if fused:
-            from jax.experimental.shard_map import shard_map
-
             per_dev = n_samples // data_parallel
 
             def local_gen(k):
@@ -199,13 +191,22 @@ def sample_codes(
                     temperature=temperature, sample_steps=sample_steps,
                 )
 
-            fn = jax.jit(
-                shard_map(
+            try:
+                # jax >= 0.8: check_vma replaced the old check_rep flag
+                from jax import shard_map
+
+                smapped = shard_map(
+                    local_gen, mesh=mesh, in_specs=P(),
+                    out_specs=P("data", None, None), check_vma=False,
+                )
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+                smapped = shard_map(
                     local_gen, mesh=mesh, in_specs=P(),
                     out_specs=P("data", None, None), check_rep=False,
                 )
-            )
-            return fn(key)
+            return jax.jit(smapped)(key)
         state = replicate(state, mesh)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
