@@ -124,13 +124,16 @@ def synthetic_dataset(
     Shapes/dtypes/value ranges match real MNIST so every downstream stage
     (training, index extraction, diffusion, metrics) exercises identically.
     """
-    rng = np.random.RandomState(seed)
+    # fold the dataset name into the seed so the KMNIST/FMNIST/... stand-ins
+    # are distinct datasets (deterministic per name) rather than replicas
+    name_seed = sum(ord(c) * (i + 1) for i, c in enumerate(name)) % 100003
+    rng = np.random.RandomState(seed + name_seed)
     h = w = image_size
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
 
     # a few fixed stroke centers per class
     protos = []
-    prng = np.random.RandomState(1234)
+    prng = np.random.RandomState(1234 + name_seed)
     for c in range(num_classes):
         k = 3 + c % 3
         centers = prng.uniform(5, image_size - 5, size=(k, 2))
