@@ -82,10 +82,12 @@ USE_FUSED = (
 )
 
 
-def build(dtype=DTYPE):
+def build(dtype=DTYPE, batch=None):
     from spiking_diffusion_tpu.ops.fused_denoiser import (
         make_fused_denoise_apply,
     )
+
+    batch = BATCH if batch is None else batch
 
     vq_cfg = VQVAEConfig()  # T=16, K=128, D=16
     d_cfg = DiffusionConfig()  # 49 steps, mask_id=128
@@ -115,7 +117,7 @@ def build(dtype=DTYPE):
                 return denoiser.apply(d_vars, x_t, t, train=False)
 
         codes = diffusion.sample(
-            rng, denoise, d_cfg, n_samples=BATCH, temperature=0.65
+            rng, denoise, d_cfg, n_samples=batch, temperature=0.65
         )
         return model.apply(m_vars, codes, method="decode_indices")
 
@@ -145,19 +147,31 @@ def _pipeline_cost(denoiser, d_vars, model, m_vars, d_cfg, fused=False):
     tt = jnp.ones((BATCH,), jnp.int32)
     if fused:
         # XLA cost_analysis can't see inside the Pallas megakernel: use the
-        # module's static flop/byte count for the denoiser
+        # module's static flop/byte count for the denoiser. Two flop
+        # counts: ALL taps (the kernel really runs the masked SAME-padding
+        # taps as zero rows on the MXU -> hardware MFU) and valid taps only
+        # (~82% at 7x7 -> useful-work MFU).
         from spiking_diffusion_tpu.ops.fused_denoiser import denoiser_cost
 
-        f_den, b_den = denoiser_cost(d_cfg, BATCH)
+        itemsize = jnp.dtype(DTYPE).itemsize
+        f_den, b_den = denoiser_cost(d_cfg, BATCH, itemsize=itemsize)
+        f_den_u, _ = denoiser_cost(
+            d_cfg, BATCH, itemsize=itemsize, useful_only=True
+        )
     else:
         den = jax.jit(lambda v, x, t: denoiser.apply(v, x, t, train=False))
         f_den, b_den = _cost_analysis(den, d_vars, x_t, tt)
+        f_den_u = f_den  # XLA counts only algorithmic conv flops
     dec = jax.jit(lambda v, c: model.apply(v, c, method="decode_indices"))
     f_dec, b_dec = _cost_analysis(dec, m_vars, x_t)
     if f_den is None or f_dec is None:
-        return None, None
+        return None, None, None
     steps = d_cfg.num_timesteps
-    return f_den * steps + f_dec, b_den * steps + b_dec
+    return (
+        f_den * steps + f_dec,
+        f_den_u * steps + f_dec,
+        b_den * steps + b_dec,
+    )
 
 
 def main():
@@ -188,18 +202,50 @@ def main():
 
     img_per_sec = BATCH * N_ITERS / dt
     dt_iter = dt / N_ITERS
-    flops, hbm_bytes = _pipeline_cost(
+    flops, flops_useful, hbm_bytes = _pipeline_cost(
         denoiser, d_vars, model, m_vars, d_cfg, fused=USE_FUSED
     )
     mfu = round(flops / dt_iter / _PEAK_FLOPS, 4) if flops else None
+    # useful-work MFU: discounts the masked SAME-padding taps the fused
+    # kernel executes as zero rows on the MXU (hardware-honest `mfu`
+    # counts them; the gap is the padding overhead of the 7x7 grid)
+    mfu_u = (
+        round(flops_useful / dt_iter / _PEAK_FLOPS, 4) if flops_useful
+        else None
+    )
     hbm = round(hbm_bytes / dt_iter / _PEAK_HBM, 4) if hbm_bytes else None
+
+    # latency at the reference's own sampler config (batch 16,
+    # ``vq_diffusion.py:51``): 8 sequential batch-16 generations, one
+    # end-of-loop sync — device programs execute in order, so dt/8 is the
+    # per-call device latency without the ~28 ms measurement-tunnel RTT
+    # a per-call sync would add
+    lat_iters = 8
+    gen16, m16, d16 = gen, m_vars, d_vars
+    if BATCH != 16:
+        gen16, m16, d16 = build(batch=16)[:3]
+    gen16_sum = jax.jit(
+        lambda mv, dv, k: jnp.sum(gen16(mv, dv, k).astype(jnp.float32))
+    )
+    float(gen16_sum(m16, d16, key))  # compile + warm
+    t1 = time.perf_counter()
+    for i in range(lat_iters):
+        key, k = jax.random.split(key)
+        s16 = gen16_sum(m16, d16, k)
+    s16 = float(s16)
+    lat = (time.perf_counter() - t1) / lat_iters
+    assert np.isfinite(s16)
+
     record = {
         "metric": "generated_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / _reference_img_per_sec(), 2),
         "mfu": mfu,
+        "mfu_useful": mfu_u,
         "hbm_util": hbm,
+        "latency_batch16_ms": round(lat * 1e3, 2),
+        "img_per_sec_batch16": round(16.0 / lat, 2),
     }
     if os.environ.get("BENCH_ENERGY", "0") == "1":
         # spike-aware AC/MAC energy per generated image (45nm pJ model,

@@ -43,7 +43,6 @@ from spiking_diffusion_tpu.metrics import (
     kid_from_features,
     ssim,
 )
-from spiking_diffusion_tpu.metrics.features import lenet_feature_fn, train_lenet
 from spiking_diffusion_tpu.metrics.mode_coverage import mode_coverage_kl
 from spiking_diffusion_tpu.metrics.scores import fid_from_features
 from spiking_diffusion_tpu.models import (
@@ -120,6 +119,16 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    choices=["auto", "on", "off"],
                    help="whole-denoiser Pallas megakernel for generation "
                         "(auto: on TPU only)")
+    p.add_argument("--frozen_metrics", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="score FID/IS/KID in the COMMITTED frozen LeNet "
+                        "feature space (metrics/assets/) so numbers "
+                        "compare across runs and rounds; auto falls back "
+                        "to retraining when no compatible space exists")
+    p.add_argument("--ref_size", type=int, default=1280,
+                   help="real reference-set size for FID/KID (LeNet-FID "
+                        "draw variance shrinks with this; flagship runs "
+                        "use 8192)")
     p.add_argument("--syops", action="store_true",
                    help="print the spike-aware op/energy report "
                         "(the reference's commented-out complexity print, "
@@ -320,21 +329,40 @@ def _eval_recon(args, model, state, ds):
 
 def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     """Temperature sweep: grids + metric batches (``main.py:377-529``)."""
-    # train the metric feature extractor on the real data
-    print("training LeNet feature extractor for metrics...")
-    lenet, lenet_params = train_lenet(
-        ds.train_images, ds.train_labels, ds.num_classes, epochs=3
+    # the metric feature space: committed frozen LeNet (comparable across
+    # runs/rounds) when available, retrained otherwise
+    from spiking_diffusion_tpu.metrics.frozen import (
+        data_hash,
+        get_feature_space,
+        load_frozen_stats,
     )
-    feature_fn = lenet_feature_fn(lenet, lenet_params)
 
-    real = ds.test_images[: 1280]
+    feature_fn, space_info = get_feature_space(
+        args.dataset_name, ds.train_images, ds.train_labels,
+        ds.num_classes, mode=getattr(args, "frozen_metrics", "auto"),
+    )
+
+    ref_size = getattr(args, "ref_size", 1280)
+    real = ds.test_images[:ref_size]
     real_feats, _ = feature_fn(real)
+
+    # reproducibility anchor: when this eval's real set is byte-identical
+    # to the one the committed stats were pinned from, assert the
+    # recomputed stats match to float precision
+    if space_info.get("frozen"):
+        stats = load_frozen_stats(args.dataset_name)
+        if stats is not None and stats["data_sha"] == data_hash(real):
+            mu = np.mean(real_feats, axis=0)
+            assert np.allclose(mu, stats["mu"], rtol=1e-4, atol=1e-4), \
+                "frozen stats drifted — feature space not reproducible"
+            space_info["stats_verified"] = True
+            print("frozen reference stats verified (bit-reproducible)")
 
     # Self-calibration anchor: FID between two halves of the real set in
     # THIS feature space. LeNet-FID values are only meaningful relative to
     # this floor (retraining the feature net rescales all distances, so
     # absolute FIDs are not comparable across runs/rounds without it).
-    held = ds.test_images[1280: 1280 + len(real)]
+    held = ds.test_images[ref_size: ref_size + len(real)]
     if len(held) >= 256:
         held_feats, _ = feature_fn(held)
         null_fid = round(fid_from_features(real_feats, held_feats), 4)
@@ -416,6 +444,13 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
         print(f"temp={temp}: {entry}")
 
     results["null_FID"] = null_fid
+    results["feature_space"] = {
+        "frozen": bool(space_info.get("frozen")),
+        "name": space_info.get("name"),
+        "sha256": space_info.get("space_sha", "")[:16],
+        "stats_verified": bool(space_info.get("stats_verified", False)),
+        "ref_size": int(len(real)),
+    }
     with open(os.path.join(sample_path, "metrics.json"), "w") as f:
         json.dump(results, f, indent=2)
     print("metrics written to", os.path.join(sample_path, "metrics.json"))
@@ -506,17 +541,23 @@ def _run_snn_vae(args, model, ds, save_path, sample_path, root_key):
         all_images.append(np.asarray(x))
     gen = np.clip(np.concatenate(all_images) + 0.5, 0, 1)
 
-    lenet, lenet_params = train_lenet(
-        ds.train_images, ds.train_labels, ds.num_classes, epochs=3
+    from spiking_diffusion_tpu.metrics.frozen import get_feature_space
+
+    feature_fn, space_info = get_feature_space(
+        args.dataset_name, ds.train_images, ds.train_labels,
+        ds.num_classes, mode=getattr(args, "frozen_metrics", "auto"),
     )
-    feature_fn = lenet_feature_fn(lenet, lenet_params)
     feats, probs = feature_fn(gen)
-    real_feats, _ = feature_fn(ds.test_images[:1280])
+    real_feats, _ = feature_fn(
+        ds.test_images[: getattr(args, "ref_size", 1280)]
+    )
     is_mean, _ = inception_score_from_probs(probs, splits=4)
     kid_mean, _ = kid_from_features(real_feats, feats, subsets=10,
                                     subset_size=min(500, len(gen)))
     fid = fid_from_features(feats, real_feats)
-    print(f"IS = {is_mean:.4f}  KID = {kid_mean:.6f}  FID = {fid:.4f}")
+    print(f"IS = {is_mean:.4f}  KID = {kid_mean:.6f}  FID = {fid:.4f}  "
+          f"[space {space_info.get('space_sha', '')[:16]}"
+          f"{' frozen' if space_info.get('frozen') else ''}]")
 
 
 if __name__ == "__main__":

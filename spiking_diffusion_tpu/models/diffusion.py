@@ -103,34 +103,66 @@ def sample(
     temperature: float = 1.0,
     sample_steps: int | None = None,
 ) -> jax.Array:
-    """Reverse sampler: all-mask start, unmask w.p. 1/t per step.
+    """Reverse sampler: all-mask start, progressive unmasking.
 
     Returns (n_samples, h, w) int32 code grids. One ``lax.scan`` over the
     reversed timesteps — fully on-device (``vq_diffusion.py:103-142``).
+
+    ``sample_steps < num_timesteps`` visits a STRIDED subset of the full
+    T-step schedule with renormalized unmask probabilities (not the naive
+    truncation ``t = steps..1``, which starts from the wrong masked
+    fraction and craters quality). Under the full schedule the masked
+    fraction after processing step t telescopes to (t-1)/T (product of
+    (1-1/s) for s = T..t), so visiting t_1=T > ... > t_k=1 must unmask
+    with p_i = 1 - (t_i-1)/(t_{i-1}-1) and feed the denoiser
+    t = t_{i-1}-1 — the timestep whose training-time masked fraction
+    matches the sampler's actual input. With ``sample_steps == T`` this
+    reduces bit-exactly to the reference's 1/t at input t.
     """
+    import numpy as np
+
     h = w = cfg.latent_size
-    steps = cfg.num_timesteps if sample_steps is None else sample_steps
+    big_t = cfg.num_timesteps
+    steps = big_t if sample_steps is None else min(int(sample_steps), big_t)
+    if steps >= 2:
+        ts = np.unique(
+            np.round(np.linspace(big_t, 1, steps)).astype(np.int64)
+        )[::-1]
+    else:
+        ts = np.asarray([1], np.int64)  # one shot: unmask everything
+    prev = np.concatenate([[big_t + 1], ts[:-1]])
+    t_input = (prev - 1).astype(np.int64)  # first input = T; stride-1: = t
+    # integer numerator keeps p == 1/t bit-exact in the stride-1 case
+    p_unmask = (t_input - ts + 1).astype(np.float32) / t_input.astype(
+        np.float32
+    )
+    schedule = (
+        jnp.asarray(t_input, jnp.int32),
+        jnp.asarray(p_unmask, jnp.float32),
+    )
+
     x_init = jnp.full((n_samples, h, w), cfg.mask_id, jnp.int32)
     unmasked_init = jnp.zeros((n_samples, h, w), jnp.bool_)
 
-    def body(carry, t):
+    def body(carry, sched):
+        t_in, p = sched
         key, x_t, unmasked = carry
         key, k_change, k_cat = jax.random.split(key, 3)
-        tf = jnp.float32(t)
         # where to unmask; never a position already unmasked
         # (``vq_diffusion.py:118-124``: the xor/and dance == logical andnot)
-        changes = jax.random.uniform(k_change, x_t.shape) < (1.0 / tf)
+        changes = jax.random.uniform(k_change, x_t.shape) < p
         changes = jnp.logical_and(changes, jnp.logical_not(unmasked))
         unmasked = jnp.logical_or(unmasked, changes)
 
-        t_vec = jnp.full((n_samples,), t, jnp.int32)
+        t_vec = jnp.full((n_samples,), t_in, jnp.int32)
         logits = denoise_fn(x_t, t_vec)  # (N, h, w, K)
         x_0_hat = jax.random.categorical(k_cat, logits / temperature, axis=-1)
         x_t = jnp.where(changes, x_0_hat.astype(jnp.int32), x_t)
         return (key, x_t, unmasked), None
 
-    ts = jnp.arange(steps, 0, -1, dtype=jnp.int32)
-    (_, x_final, _), _ = jax.lax.scan(body, (key, x_init, unmasked_init), ts)
+    (_, x_final, _), _ = jax.lax.scan(
+        body, (key, x_init, unmasked_init), schedule
+    )
     return x_final
 
 

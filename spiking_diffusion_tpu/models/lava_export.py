@@ -193,6 +193,18 @@ def denoiser_to_netx(
         f["layer"].attrs["skip"] = np.asarray(
             [len(channels), 1], np.int64
         )  # concat(layer5_out, layer1_out) feeds the final conv
+        # state the limitation IN the artifact (not only the docstring): a
+        # loader unaware of the custom ``skip`` attr cannot wire the final
+        # conv's concatenated (ch[-1] + ch[0]) input channels and will fail
+        # on the channel mismatch; this file's schema mirrors
+        # lava.lib.dl.netx conventions but is not validated against a live
+        # Lava host (none in this environment).
+        f.attrs["note"] = np.bytes_(
+            "final conv consumes concat(layer%d, layer1) per the root "
+            "'skip' attr; sequential netx loaders without lateral-wiring "
+            "support cannot load the last layer (in-channel mismatch)."
+            % len(channels)
+        )
     return path
 
 

@@ -316,7 +316,13 @@ def _first_preactivation(x_tokens, t, k1, b1, hw: int):
     return a1.reshape(x_tokens.shape[0], hw * hw, k1.shape[-1])
 
 
-def denoiser_cost(cfg: DiffusionConfig, n: int) -> Tuple[float, float]:
+def denoiser_cost(
+    cfg: DiffusionConfig,
+    n: int,
+    itemsize: int = 2,
+    block_n: int = 8,
+    useful_only: bool = False,
+) -> Tuple[float, float]:
     """(flops, hbm bytes) of ONE fused denoiser forward at batch n.
 
     XLA's ``cost_analysis()`` does not see inside a Pallas custom call, so
@@ -324,20 +330,39 @@ def denoiser_cost(cfg: DiffusionConfig, n: int) -> Tuple[float, float]:
     (9 taps x T steps over every conv block, incl. the skip-concat final
     conv) plus the out-of-kernel first conv; bytes = the first-layer
     pre-activation in, logits out, and one pass of the weights.
+
+    ``itemsize`` is the compute dtype's weight byte width (2 for the bf16
+    default, 4 for fp32); the batch is counted PADDED to ``block_n`` tiles
+    (the kernel really executes the pad rows). ``useful_only=True``
+    discounts the masked SAME-padding taps the kernel executes as zero
+    rows on the MXU: at hw x hw the model-useful fraction of the 9-tap
+    work is sum_{dy,dx}(hw-|dy|)(hw-|dx|) / (9 hw^2) (~0.82 at 7x7) —
+    hardware MFU counts all taps, useful-work MFU only these.
     """
-    hw2 = cfg.latent_size ** 2
+    hw = cfg.latent_size
+    hw2 = hw ** 2
     ch = tuple(cfg.denoiser_channels)
     k = cfg.num_embeddings
-    r = n * hw2
-    flops = 2.0 * r * 9 * 2 * ch[0]  # first conv (2 input channels), once
+    n_pad = -(-n // block_n) * block_n
+    r = n_pad * hw2
+    tap = 1.0
+    if useful_only:
+        valid = sum(
+            (hw - abs(dy)) * (hw - abs(dx))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        )
+        tap = valid / (9.0 * hw2)
+    flops = tap * 2.0 * r * 9 * 2 * ch[0]  # first conv (2 in-ch), once
     per_t = 0.0
     for i in range(1, len(ch)):
         per_t += 2.0 * r * 9 * ch[i - 1] * ch[i]
     per_t += 2.0 * r * 9 * (ch[-1] + ch[0]) * k
-    flops += per_t * cfg.num_steps
+    flops += tap * per_t * cfg.num_steps
     w_elems = sum(9 * ch[i - 1] * ch[i] for i in range(1, len(ch)))
     w_elems += 9 * (ch[-1] + ch[0]) * k
-    bytes_accessed = r * ch[0] * 4.0 + r * k * 4.0 + w_elems * 2.0
+    bytes_accessed = (
+        r * ch[0] * 4.0 + r * k * 4.0 + w_elems * float(itemsize)
+    )
     return flops, bytes_accessed
 
 

@@ -106,6 +106,10 @@ def count_params(params: Any) -> int:
 
 
 _PROFILE_JIT_CACHE: Dict[Any, Any] = {}
+# keys hold model instances (and their closed-over compiled executables);
+# cap the cache so config sweeps over freshly constructed models don't
+# accumulate them for the process lifetime
+_PROFILE_JIT_CACHE_MAX = 16
 
 
 def profile_apply(model, variables, *args, **kwargs):
@@ -134,6 +138,8 @@ def profile_apply(model, variables, *args, **kwargs):
             lambda v, *a: model.apply(v, *a, mutable=mutable, **kwargs)
         )
         if cache_key is not None:
+            while len(_PROFILE_JIT_CACHE) >= _PROFILE_JIT_CACHE_MAX:
+                _PROFILE_JIT_CACHE.pop(next(iter(_PROFILE_JIT_CACHE)))
             _PROFILE_JIT_CACHE[cache_key] = fn
     out, mut = fn(variables, *args)
     per_layer = collect(mut.get("syops", {}))

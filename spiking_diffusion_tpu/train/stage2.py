@@ -192,14 +192,16 @@ def sample_codes(
                 )
 
             try:
-                # jax >= 0.8: check_vma replaced the old check_rep flag
+                # jax >= 0.8: check_vma replaced the old check_rep flag.
+                # TypeError covers versions where jax.shard_map exists but
+                # still takes check_rep (pre-check_vma API).
                 from jax import shard_map
 
                 smapped = shard_map(
                     local_gen, mesh=mesh, in_specs=P(),
                     out_specs=P("data", None, None), check_vma=False,
                 )
-            except ImportError:  # pragma: no cover - older jax
+            except (ImportError, TypeError):  # pragma: no cover - older jax
                 from jax.experimental.shard_map import shard_map
 
                 smapped = shard_map(

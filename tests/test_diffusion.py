@@ -172,3 +172,65 @@ def test_pick_mask_id():
     assert diffusion.pick_mask_id("min", 16, batch) == 2
     with pytest.raises(ValueError):
         diffusion.pick_mask_id("bogus", 16, batch)
+
+
+def test_strided_sampler_unmasks_everything():
+    key = jax.random.PRNGKey(11)
+
+    def denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    for steps in (25, 10, 3, 1):
+        out = np.asarray(diffusion.sample(
+            key, denoiser, CFG, n_samples=8, temperature=1.0,
+            sample_steps=steps,
+        ))
+        assert (out == CFG.mask_id).sum() == 0, steps
+        assert out.min() >= 0 and out.max() < CFG.num_embeddings
+
+
+def test_strided_sampler_masked_fraction_matches_t_input():
+    """The renormalized schedule must feed the denoiser a t whose
+    training-time masked fraction (t/T) matches the sampler's actual
+    input — the property naive truncation violates."""
+    records = []
+
+    def denoiser(x_t, t):
+        frac = jnp.mean((x_t == CFG.mask_id).astype(jnp.float32))
+        jax.debug.callback(
+            lambda f, tt: records.append((float(f), int(tt[0]))), frac, t
+        )
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    n = 512
+    np.asarray(diffusion.sample(
+        jax.random.PRNGKey(3), denoiser, CFG, n_samples=n,
+        sample_steps=25,
+    ))
+    assert len(records) == 25
+    # the t=T call sees everything masked (callback order not guaranteed
+    # under jit, so look the record up by its t value)
+    top = dict((t, f) for f, t in records)[CFG.num_timesteps]
+    assert top == 1.0
+    for frac, t_in in records:
+        expect = t_in / CFG.num_timesteps
+        assert abs(frac - expect) < 0.04, (frac, t_in)
+
+
+def test_full_steps_schedule_reduces_to_reference():
+    """steps == T must reproduce the reference 1/t schedule bit-exactly:
+    same visited t values, same unmask probabilities."""
+    import numpy as _np
+
+    big_t = CFG.num_timesteps
+    ts = _np.unique(
+        _np.round(_np.linspace(big_t, 1, big_t)).astype(_np.int64)
+    )[::-1]
+    _np.testing.assert_array_equal(ts, _np.arange(big_t, 0, -1))
+    prev = _np.concatenate([[big_t + 1], ts[:-1]])
+    t_input = prev - 1
+    _np.testing.assert_array_equal(t_input, ts)  # stride-1: input == t
+    p = (t_input - ts + 1).astype(_np.float32) / t_input.astype(_np.float32)
+    _np.testing.assert_array_equal(
+        p, (1.0 / ts.astype(_np.float32)).astype(_np.float32)
+    )
