@@ -83,8 +83,19 @@ def train_lenet(
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
+    # whole dataset device-resident, batches gathered ON device: one host
+    # upload instead of one per step (the remote-TPU tunnel moves ~35 MB/s
+    # — per-step 200 KB copies would dominate the training time). The data
+    # MUST be an explicit jit argument: closing over a large array bakes
+    # it into the HLO as a constant and stalls compilation.
+    data_dev = jax.device_put(jnp.asarray(images, jnp.float32))
+    labels_dev = jax.device_put(jnp.asarray(labels, jnp.int32))
+
     @jax.jit
-    def step(params, opt_state, x, y):
+    def step(params, opt_state, data, labels_d, idx):
+        x = jnp.take(data, idx, axis=0)
+        y = jnp.take(labels_d, idx, axis=0)
+
         def loss_fn(p):
             logits = model.apply({"params": p}, x)
             return optax.softmax_cross_entropy_with_integer_labels(
@@ -102,11 +113,9 @@ def train_lenet(
     for epoch in range(epochs):
         order = np.random.RandomState(seed + epoch).permutation(n)
         for i in range(0, n - n % batch_size, batch_size):
-            idx = order[i : i + batch_size]
-            params, opt_state, loss = step(
-                params, opt_state,
-                jnp.asarray(images[idx]), jnp.asarray(labels[idx]),
-            )
+            idx = order[i : i + batch_size].astype(np.int32)
+            params, opt_state, loss = step(params, opt_state, data_dev,
+                                           labels_dev, jnp.asarray(idx))
         if log_fn:
             log_fn(f"lenet epoch {epoch}: loss {float(loss):.4f}")
     return model, params
