@@ -101,7 +101,7 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
     pidx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     yy = (pidx % (hw * hw)) // hw
     xx = pidx % hw
-    if (mode or _CONV_MODE) == "xy":
+    if (mode or _CONV_MODE) in ("xy", "xyrow"):
         return (
             xx - 1 >= 0,  # xmask_m: reading x[p-1] valid
             xx + 1 < hw,  # xmask_p
@@ -118,7 +118,7 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
     return masks
 
 
-_CONV_MODE = "xy"  # 'xy' | 'taps' | 'im2col'
+_CONV_MODE = "xy"  # 'xy' | 'xyrow' | 'taps' | 'im2col'
 _UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
 _INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
 # half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU
@@ -142,9 +142,9 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
       'im2col' — 9 masked rolls concatenated, ONE (R, 9*Cin) matmul.
     """
     r = x.shape[0]
-    cout = w_ref.shape[2]
+    cout = w_ref.shape[-1]
     bias = jnp.broadcast_to(b_ref[...].astype(jnp.float32), (r, cout))
-    if _CONV_MODE == "xy":
+    if _CONV_MODE in ("xy", "xyrow"):
         xmask_m, xmask_p, ymask_m, ymask_p = masks
         zero = jnp.zeros_like(x)
         u = {
@@ -152,16 +152,27 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
             0: x,
             1: jnp.where(xmask_p, _row_roll(x, 1), zero),
         }
-        v = []
-        for dy in (-1, 0, 1):
-            acc = None
-            for dx in (-1, 0, 1):
-                d = jnp.dot(
-                    u[dx], w_ref[(dy + 1) * 3 + (dx + 1)],
-                    preferred_element_type=jnp.float32,
-                )
-                acc = d if acc is None else acc + d
-            v.append(acc)
+        if _CONV_MODE == "xyrow":
+            # kernel-row matmuls: one (R, 3Cin) x (3Cin, Cout) per dy —
+            # 3 wide MXU ops instead of 9 narrow ones (weights arrive
+            # pre-reshaped (3, 3Cin, Cout) from _extract_folded_weights)
+            big = jnp.concatenate([u[-1], u[0], u[1]], axis=-1)
+            v = [
+                jnp.dot(big, w_ref[dy],
+                        preferred_element_type=jnp.float32)
+                for dy in range(3)
+            ]
+        else:
+            v = []
+            for dy in (-1, 0, 1):
+                acc = None
+                for dx in (-1, 0, 1):
+                    d = jnp.dot(
+                        u[dx], w_ref[(dy + 1) * 3 + (dx + 1)],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = d if acc is None else acc + d
+                v.append(acc)
         out = bias + v[1]
         zf = jnp.zeros_like(v[1])
         out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zf)
@@ -267,7 +278,8 @@ def _make_kernel(
     return kernel
 
 
-def _extract_folded_weights(variables, n_blocks: int, dtype):
+def _extract_folded_weights(variables, n_blocks: int, dtype,
+                            conv_mode: str | None = None):
     """Fold BN into convs and pull out (first-conv, per-block, final) weights.
 
     Returns (k1, b1, ws, bs, kf, bf): k1 flax (3,3,Cin,C1) fp32; ws/kf are
@@ -279,20 +291,22 @@ def _extract_folded_weights(variables, n_blocks: int, dtype):
     """
     blocks = folded_conv_params(variables, n_blocks + 1)
     k1, b1 = blocks[0]
+
+    def shape_w(k):
+        # 'xyrow' consumes per-kernel-row weights (3, 3*Cin, Cout) —
+        # (kh, kw, cin, cout) row-major reshape groups (kw, cin) exactly
+        # as the kernel's concat([u[-1], u[0], u[1]]) expects
+        w = jnp.asarray(k, jnp.float32)
+        if (conv_mode or _CONV_MODE) == "xyrow":
+            return w.reshape(3, 3 * k.shape[2], k.shape[3]).astype(dtype)
+        return w.reshape(9, k.shape[2], k.shape[3]).astype(dtype)
+
     ws, bs = [], []
     for k, b in blocks[1:-1]:
-        ws.append(
-            jnp.asarray(k, jnp.float32)
-            .reshape(9, k.shape[2], k.shape[3])
-            .astype(dtype)
-        )
+        ws.append(shape_w(k))
         bs.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
     kf, bf = blocks[-1]
-    kf = (
-        jnp.asarray(kf, jnp.float32)
-        .reshape(9, kf.shape[2], kf.shape[3])
-        .astype(dtype)
-    )
+    kf = shape_w(kf)
     return (
         jnp.asarray(k1, jnp.float32),
         jnp.asarray(b1, jnp.float32),
@@ -487,7 +501,9 @@ def mirror_denoise_fn(
     hw = cfg.latent_size
     channels = tuple(cfg.denoiser_channels)
     n_l = len(channels)
-    k1, b1, ws, bs, kf, bf = _extract_folded_weights(variables, n_l, dtype)
+    k1, b1, ws, bs, kf, bf = _extract_folded_weights(
+        variables, n_l, dtype, conv_mode="taps"
+    )
     p = cfg.lif.to_params()
 
     def conv(x, w, b, masks):

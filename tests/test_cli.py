@@ -59,7 +59,7 @@ def test_cli_end_to_end_tiny(tmp_path, monkeypatch):
     assert (res / "diff_result" / "diff_model").is_dir()
     samp = tmp_path / "sample" / "MNIST" / "snn-vq-vae"
     metrics = json.loads((samp / "metrics.json").read_text())
-    assert set(metrics) == {"0.5", "1.0", "null_FID"}
+    assert set(metrics) == {"0.5", "1.0", "null_FID", "feature_space"}
     assert np.isfinite(metrics["null_FID"])
     for temp in ("0.5", "1.0"):
         entry = metrics[temp]

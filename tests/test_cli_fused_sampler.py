@@ -46,5 +46,5 @@ def test_cli_fused_sampler_end_to_end(tmp_path, monkeypatch):
 
     samp = tmp_path / "sample" / "MNIST" / "snn-vq-vae"
     metrics = json.loads((samp / "metrics.json").read_text())
-    assert set(metrics) == {"1.0", "null_FID"}
+    assert set(metrics) == {"1.0", "null_FID", "feature_space"}
     assert np.isfinite(metrics["1.0"]["FID"])

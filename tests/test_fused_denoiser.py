@@ -154,3 +154,24 @@ def test_kernel_interleave_mode_matches_mirror():
         )
     finally:
         fused_denoiser._INTERLEAVE = old
+
+
+def test_kernel_xyrow_mode_matches_mirror():
+    """'xyrow' (3 per-kernel-row wide matmuls; round-3 MFU experiment)
+    stays parity-locked to the mirror."""
+    old = fused_denoiser._CONV_MODE
+    fused_denoiser._CONV_MODE = "xyrow"
+    try:
+        _, variables = _trained_variables(seed=6)
+        x, t = _batch(n=8, seed=13)
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.float32, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._CONV_MODE = old
