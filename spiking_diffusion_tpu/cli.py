@@ -442,6 +442,25 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
             entry["covered_modes"] = mc["covered_modes"]
         results[temp] = entry
         print(f"temp={temp}: {entry}")
+        last_gen01 = gen01
+
+    # showcase artifacts at the final (reference-default highest)
+    # temperature: per-class grids + the paper-figure montage
+    # (``classify.py:129-184``, automated best-per-mode selection)
+    if args.metric in (None, "MODE"):
+        from spiking_diffusion_tpu.metrics.mode_coverage import (
+            paper_montage,
+            per_class_grids,
+        )
+
+        per_class_grids(
+            feature_fn, last_gen01, ds.num_classes,
+            os.path.join(sample_path, "classes"),
+        )
+        paper_montage(
+            feature_fn, last_gen01, ds.num_classes,
+            os.path.join(sample_path, "paper_image.png"), per_class=2,
+        )
 
     results["null_FID"] = null_fid
     results["feature_space"] = {

@@ -57,6 +57,38 @@ def per_class_grids(
     return paths
 
 
+def paper_montage(
+    feature_fn: FeatureFn,
+    images: np.ndarray,
+    num_classes: int,
+    out_path: str,
+    per_class: int = 1,
+) -> str:
+    """One-per-class showcase montage — the automated stand-in for the
+    reference's HAND-picked paper figure (``classify.py:158-184`` selects
+    per-class sample indices by eye); here the classifier's own
+    max-confidence sample per class is chosen, which reproduces the
+    "best-looking representative per mode" intent without a human in the
+    loop. Classes with no confident sample fall back to the highest
+    available probability.
+    """
+    import os
+
+    from spiking_diffusion_tpu.utils.grids import save_image_grid
+
+    _, probs = feature_fn(images)
+    chosen = []
+    for c in range(num_classes):
+        order = np.argsort(-probs[:, c])[:per_class]
+        chosen.append(images[order])
+    montage = np.concatenate(chosen, axis=0)
+    rows = max(1, -(-len(montage) // 5))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    # images arrive in [0, 1]; grid saver expects [-0.5, 0.5]
+    save_image_grid(montage - 0.5, out_path, rows=rows, cols=5)
+    return out_path
+
+
 def mode_coverage_kl(
     feature_fn: FeatureFn, images: np.ndarray, num_classes: int
 ) -> Dict[str, object]:

@@ -141,3 +141,21 @@ def test_per_class_grids(tmp_path):
 
     for p in paths.values():
         assert os.path.exists(p)
+
+
+def test_paper_montage(tmp_path):
+    from spiking_diffusion_tpu.metrics.mode_coverage import paper_montage
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(40, 28, 28, 1).astype(np.float32)
+
+    def fake_fn(x, **kw):
+        n = x.shape[0]
+        probs = rng.rand(n, 4).astype(np.float32)
+        probs /= probs.sum(1, keepdims=True)
+        return np.zeros((n, 8), np.float32), probs
+
+    out = paper_montage(fake_fn, imgs, 4, str(tmp_path / "m.png"),
+                        per_class=2)
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
