@@ -88,10 +88,35 @@ class Generator:
         _ = np.asarray(self._generate(self._key, 0.65))
 
     def sample(self, n: int, temperature: float) -> np.ndarray:
+        import time
+
         with self._lock:
             self._key, k = jax.random.split(self._key)
+            t0 = time.perf_counter()
             out = np.asarray(self._generate(k, temperature))
+            self.last_latency_s = time.perf_counter() - t0
         return out[:n]
+
+    def bench(self, requests: int = 8, temperature: float = 0.65) -> dict:
+        """Measured serving latency at the compiled batch: sequential
+        requests, each timed to full host materialization (what a client
+        actually waits for, including the device->host image copy)."""
+        lats = []
+        for _ in range(requests):
+            import time
+
+            t0 = time.perf_counter()
+            self.sample(self.batch, temperature)
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        return {
+            "batch": self.batch,
+            "requests": requests,
+            "p50_s": round(lats[len(lats) // 2], 4),
+            "min_s": round(lats[0], 4),
+            "max_s": round(lats[-1], 4),
+            "images_per_sec": round(self.batch / lats[len(lats) // 2], 2),
+        }
 
 
 def make_handler(gen: Generator):
@@ -100,6 +125,14 @@ def make_handler(gen: Generator):
             url = urlparse(self.path)
             if url.path == "/healthz":
                 self._json({"status": "ok", "batch": gen.batch})
+                return
+            if url.path == "/stats":
+                self._json({
+                    "batch": gen.batch,
+                    "last_latency_s": round(
+                        getattr(gen, "last_latency_s", 0.0), 4
+                    ),
+                })
                 return
             if url.path != "/generate":
                 self.send_error(404)
@@ -148,10 +181,16 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--num_steps", type=int, default=16)
     p.add_argument("--codebook_size", type=int, default=128)
+    p.add_argument("--bench", type=int, default=0,
+                   help="measure serving latency over N sequential "
+                        "requests at the compiled batch, print JSON, exit")
     args = p.parse_args()
 
     gen = Generator(args.checkpoint, args.batch, args.num_steps,
                     args.codebook_size)
+    if args.bench:
+        print(json.dumps(gen.bench(args.bench)))
+        return
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(gen))
     print(f"serving on :{args.port} (batch {args.batch})")
     server.serve_forever()

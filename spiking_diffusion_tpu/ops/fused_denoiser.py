@@ -118,7 +118,11 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
     return masks
 
 
-_CONV_MODE = "xy"  # 'xy' | 'xyrow' | 'taps' | 'im2col'
+import os as _os
+
+# 'xy' | 'xyrow' | 'taps' | 'im2col' — measured winner 'xy'; the env
+# override exists for on-hardware A/B runs (bench.py SD_CONV_MODE=xyrow)
+_CONV_MODE = _os.environ.get("SD_CONV_MODE", "xy")
 _UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
 _INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
 # half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU

@@ -112,3 +112,6 @@ def test_serve_example_generator(tmp_path):
     imgs = gen.sample(2, 0.8)
     assert imgs.shape[0] == 2 and imgs.shape[1:3] == (28, 28)
     assert np.isfinite(imgs).all()
+    stats = gen.bench(requests=2, temperature=0.8)
+    assert stats["batch"] == 4 and stats["p50_s"] > 0
+    assert stats["images_per_sec"] > 0
