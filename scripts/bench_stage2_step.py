@@ -56,6 +56,14 @@ def bench(backend: str, dtype, batch: int, iters: int) -> dict:
 
     state, m = step(state, x0, key)  # compile + warm
     _ = float(m["loss"])
+    # burn-in: the FIRST timed loop in a process reads ~25 ms/step high
+    # (measured: auto:bf16 65.9 then 40.4 in the same process; swapping
+    # the variant order moves the inflation with the order, not the
+    # variant) — run a short discarded loop so every variant is measured
+    # in the steady state.
+    for i in range(8):
+        state, m = step(state, x0, jax.random.PRNGKey(100 + i))
+    _ = float(m["loss"])
     keys = jax.random.split(jax.random.PRNGKey(1), iters)
     t_start = time.perf_counter()
     for i in range(iters):

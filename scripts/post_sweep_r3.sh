@@ -39,9 +39,9 @@ from spiking_diffusion_tpu.ops.pallas_lif import lif_fused
 from spiking_diffusion_tpu.ops.unrolled_lif import lif_unrolled
 p = NeuronParams()
 x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 1024), jnp.float32)
-s_ref = np.asarray(jax.jit(lambda x: lif_scan(x, params=p))(x))
+s_ref = np.asarray(jax.jit(lambda x: lif_scan(x, params=p)[0])(x))
 g_ref = np.asarray(jax.jit(
-    jax.grad(lambda x: jnp.sum(lif_scan(x, params=p) ** 2))
+    jax.grad(lambda x: jnp.sum(lif_scan(x, params=p)[0] ** 2))
 )(x))
 for name, fn in (("pallas", lif_fused), ("unroll", lif_unrolled)):
     s_new = np.asarray(jax.jit(lambda x: fn(x, params=p))(x))

@@ -120,9 +120,11 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
 
 import os as _os
 
-# 'xy' | 'xyrow' | 'taps' | 'im2col' — measured winner 'xy'; the env
-# override exists for on-hardware A/B runs (bench.py SD_CONV_MODE=xyrow)
-_CONV_MODE = _os.environ.get("SD_CONV_MODE", "xy")
+# 'xy' | 'xyrow' | 'taps' | 'im2col' — measured winner 'xyrow' (584 vs
+# 564 img/s for 'xy' on v5e, round-3 A/B at batch 2048 bf16: the three
+# per-kernel-row wide matmuls keep the MXU busier than nine narrow
+# ones); the env override exists for on-hardware A/B runs
+_CONV_MODE = _os.environ.get("SD_CONV_MODE", "xyrow")
 _UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
 _INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
 # half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU
@@ -140,8 +142,11 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
                  u_dx[p] = x[p+dx], 9 matmuls produce the three kernel-row
                  partial sums v_dy, and 2 masked y-rolls on the OUTPUT
                  combine them (out[p] = sum_dy v_dy[p+dy*hw]); 4 VPU
-                 roll+select passes per conv instead of 9 — the measured
-                 winner (VPU shifts, not MXU work, bound the kernel).
+                 roll+select passes per conv instead of 9.
+      'xyrow'  — same shift structure as 'xy' but the 9 narrow matmuls
+                 become 3 wide (R, 3Cin)x(3Cin, Cout) kernel-row matmuls
+                 on a concat of the shifted inputs — the measured winner
+                 (584 vs 564 img/s on v5e; MXU prefers fewer, wider ops).
       'taps'   — 9 masked rolls, 9 accumulating matmuls.
       'im2col' — 9 masked rolls concatenated, ONE (R, 9*Cin) matmul.
     """

@@ -156,11 +156,12 @@ def test_kernel_interleave_mode_matches_mirror():
         fused_denoiser._INTERLEAVE = old
 
 
-def test_kernel_xyrow_mode_matches_mirror():
-    """'xyrow' (3 per-kernel-row wide matmuls; round-3 MFU experiment)
-    stays parity-locked to the mirror."""
+def test_kernel_xy_mode_matches_mirror():
+    """'xy' (9 narrow per-tap matmuls; the round-2 default, superseded by
+    'xyrow' after the round-3 on-hardware A/B) stays parity-locked to the
+    mirror. The default-mode tests above cover 'xyrow'."""
     old = fused_denoiser._CONV_MODE
-    fused_denoiser._CONV_MODE = "xyrow"
+    fused_denoiser._CONV_MODE = "xy"
     try:
         _, variables = _trained_variables(seed=6)
         x, t = _batch(n=8, seed=13)
