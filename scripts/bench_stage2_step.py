@@ -40,9 +40,9 @@ def bench(backend: str, dtype, batch: int, iters: int) -> dict:
         lambda k, x, t: denoiser.init(k, x, t, train=True)
     )(key, x0[:2], t0[:2])
     state = create_train_state(denoiser, variables)
-    step = make_train_step_diffusion(cfg, donate=True)
 
-    # cost analysis on a non-donating twin (donation breaks re-lowering)
+    # non-donating step (donation breaks re-lowering; inside the scan the
+    # carry threading gives XLA the same in-place opportunity anyway)
     nd = make_train_step_diffusion(cfg, donate=False)
     try:
         ca = jax.jit(nd.__wrapped__).lower(
@@ -54,21 +54,27 @@ def bench(backend: str, dtype, batch: int, iters: int) -> dict:
     except Exception:
         flops = bts = float("nan")
 
-    state, m = step(state, x0, key)  # compile + warm
-    _ = float(m["loss"])
-    # burn-in: the FIRST timed loop in a process reads ~25 ms/step high
-    # (measured: auto:bf16 65.9 then 40.4 in the same process; swapping
-    # the variant order moves the inflation with the order, not the
-    # variant) — run a short discarded loop so every variant is measured
-    # in the steady state.
-    for i in range(8):
-        state, m = step(state, x0, jax.random.PRNGKey(100 + i))
-    _ = float(m["loss"])
+    # Device-side timed loop: iters steps inside ONE jitted lax.scan, so
+    # the axon tunnel (dispatch jitter made the old host-side async loop
+    # read the same bf16 step anywhere from 40 to 69 ms across runs while
+    # fp32 stayed at ~49) is crossed exactly twice — one dispatch, one
+    # scalar sync. lax.scan re-lowers the step body without donation
+    # buffer aliasing issues because the carry is threaded functionally.
+    nd_step = nd.__wrapped__ if hasattr(nd, "__wrapped__") else nd
+
+    @jax.jit
+    def run(state, x0, keys):
+        def body(st, k):
+            st, m = nd_step(st, x0, k)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, keys)
+
     keys = jax.random.split(jax.random.PRNGKey(1), iters)
+    _st, losses = run(state, x0, keys)  # compile + warm
+    _ = float(losses[-1])
     t_start = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, x0, keys[i])
-    loss = float(m["loss"])  # single end-of-loop sync
+    _st, losses = run(state, x0, keys)
+    loss = float(losses[-1])  # single end-of-loop sync
     dt = (time.perf_counter() - t_start) / iters
     assert np.isfinite(loss)
     return {

@@ -108,6 +108,15 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="reverse-diffusion steps for generation (default: "
                         "num_timesteps=49, the reference's fixed count); "
                         "fewer steps trade quality for throughput")
+    p.add_argument("--unmask_mode", default="random",
+                   choices=["random", "confidence"],
+                   help="which masked positions each reverse step reveals: "
+                        "'random' (the reference's uniform subset) or "
+                        "'confidence' (MaskGIT-style highest-confidence "
+                        "tokens first; much better at low --sample_steps)")
+    p.add_argument("--choice_temperature", type=float, default=1.0,
+                   help="Gumbel noise scale for --unmask_mode confidence "
+                        "(annealed to 0 over the schedule)")
     p.add_argument("--temperatures", default=None,
                    help="comma-separated sampling temperatures for the "
                         "eval sweep (default: the reference's 12-point "
@@ -400,6 +409,8 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
         codes = diffusion.sample(
             key, denoise, d_cfg, n_samples=chunk, temperature=temp,
             sample_steps=args.sample_steps,
+            unmask_mode=args.unmask_mode,
+            choice_temperature=args.choice_temperature,
         )
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

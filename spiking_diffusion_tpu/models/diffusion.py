@@ -102,6 +102,8 @@ def sample(
     n_samples: int,
     temperature: float = 1.0,
     sample_steps: int | None = None,
+    unmask_mode: str = "random",
+    choice_temperature: float = 1.0,
 ) -> jax.Array:
     """Reverse sampler: all-mask start, progressive unmasking.
 
@@ -118,6 +120,22 @@ def sample(
     t = t_{i-1}-1 — the timestep whose training-time masked fraction
     matches the sampler's actual input. With ``sample_steps == T`` this
     reduces bit-exactly to the reference's 1/t at input t.
+
+    ``unmask_mode``:
+
+    - ``'random'`` — the reference's scheme: each step unmasks a uniform
+      random subset of still-masked positions (``vq_diffusion.py:118-124``).
+    - ``'confidence'`` — MaskGIT-style (Chang et al. 2022, public): the
+      positions to reveal are the ones whose sampled token the denoiser is
+      most confident about (log-prob of the drawn token plus annealed
+      Gumbel noise, scale ``choice_temperature * (t_in / T)``), with a
+      DETERMINISTIC per-step reveal count that follows the same
+      masked-fraction trajectory ``D * (t_i - 1) / T`` as the random
+      schedule in expectation. At few steps this closes most of the
+      quality gap: each step reveals many tokens at once, and revealing
+      the confident ones keeps the joint draw coherent. Rank selection is
+      a double-argsort over the D=h*w positions — static shapes, no
+      top_k-with-traced-k inside the scan.
     """
     import numpy as np
 
@@ -136,27 +154,52 @@ def sample(
     p_unmask = (t_input - ts + 1).astype(np.float32) / t_input.astype(
         np.float32
     )
+    d = h * w
+    # deterministic reveal counts for confidence mode: masked count after
+    # step i targets round(D * (t_i - 1) / T); starts at D, ends at 0
+    tgt = np.round(d * (ts - 1) / big_t).astype(np.int64)
+    n_reveal = np.concatenate([[d], tgt[:-1]]) - tgt
     schedule = (
         jnp.asarray(t_input, jnp.int32),
         jnp.asarray(p_unmask, jnp.float32),
+        jnp.asarray(n_reveal, jnp.int32),
     )
 
     x_init = jnp.full((n_samples, h, w), cfg.mask_id, jnp.int32)
     unmasked_init = jnp.zeros((n_samples, h, w), jnp.bool_)
 
     def body(carry, sched):
-        t_in, p = sched
+        t_in, p, n_rev = sched
         key, x_t, unmasked = carry
         key, k_change, k_cat = jax.random.split(key, 3)
-        # where to unmask; never a position already unmasked
-        # (``vq_diffusion.py:118-124``: the xor/and dance == logical andnot)
-        changes = jax.random.uniform(k_change, x_t.shape) < p
-        changes = jnp.logical_and(changes, jnp.logical_not(unmasked))
-        unmasked = jnp.logical_or(unmasked, changes)
-
         t_vec = jnp.full((n_samples,), t_in, jnp.int32)
         logits = denoise_fn(x_t, t_vec)  # (N, h, w, K)
         x_0_hat = jax.random.categorical(k_cat, logits / temperature, axis=-1)
+
+        if unmask_mode == "random":
+            # where to unmask; never a position already unmasked
+            # (``vq_diffusion.py:118-124``: xor/and dance == logical andnot)
+            changes = jax.random.uniform(k_change, x_t.shape) < p
+            changes = jnp.logical_and(changes, jnp.logical_not(unmasked))
+        else:  # confidence
+            logp = jax.nn.log_softmax(logits / temperature, axis=-1)
+            tok_logp = jnp.take_along_axis(
+                logp, x_0_hat[..., None], axis=-1
+            )[..., 0]
+            u = jax.random.uniform(
+                k_change, x_t.shape, minval=1e-20, maxval=1.0
+            )
+            gumbel = -jnp.log(-jnp.log(u))
+            anneal = choice_temperature * (
+                t_in.astype(jnp.float32) / big_t
+            )
+            conf = tok_logp + anneal * gumbel
+            conf = jnp.where(unmasked, -jnp.inf, conf)
+            order = jnp.argsort(-conf.reshape(n_samples, d), axis=-1)
+            rank = jnp.argsort(order, axis=-1)  # rank[pos] in 0..D-1
+            changes = (rank < n_rev).reshape(n_samples, h, w)
+
+        unmasked = jnp.logical_or(unmasked, changes)
         x_t = jnp.where(changes, x_0_hat.astype(jnp.int32), x_t)
         return (key, x_t, unmasked), None
 

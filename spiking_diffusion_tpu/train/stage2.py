@@ -143,6 +143,8 @@ def sample_codes(
     n_samples: int = 16,
     temperature: float = 1.0,
     sample_steps: Optional[int] = None,
+    unmask_mode: str = "random",
+    choice_temperature: float = 1.0,
     data_parallel: int = 1,
     fused: bool = False,
     fused_dtype=None,
@@ -189,6 +191,8 @@ def sample_codes(
                 return diffusion.sample(
                     k, denoise, cfg, n_samples=per_dev,
                     temperature=temperature, sample_steps=sample_steps,
+                    unmask_mode=unmask_mode,
+                    choice_temperature=choice_temperature,
                 )
 
             try:
@@ -224,6 +228,8 @@ def sample_codes(
         lambda k: diffusion.sample(
             k, denoise, cfg, n_samples=n_samples,
             temperature=temperature, sample_steps=sample_steps,
+            unmask_mode=unmask_mode,
+            choice_temperature=choice_temperature,
         ),
         **({"out_shardings": out_sharding} if out_sharding else {}),
     )

@@ -234,3 +234,75 @@ def test_full_steps_schedule_reduces_to_reference():
     _np.testing.assert_array_equal(
         p, (1.0 / ts.astype(_np.float32)).astype(_np.float32)
     )
+
+
+@pytest.mark.parametrize("steps", [None, 12, 25])
+def test_confidence_sampler_unmasks_everything(steps):
+    """Confidence mode reveals every position by the end at any step count
+    (deterministic reveal counts sum to D)."""
+    key = jax.random.PRNGKey(11)
+
+    def denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    out = np.asarray(diffusion.sample(
+        key, denoiser, CFG, n_samples=4, sample_steps=steps,
+        unmask_mode="confidence",
+    ))
+    assert out.shape == (4, 7, 7)
+    assert (out == CFG.mask_id).sum() == 0
+    assert out.min() >= 0 and out.max() < CFG.num_embeddings
+
+
+def test_confidence_sampler_prefers_confident_positions():
+    """With choice_temperature=0 the first reveals are exactly the
+    positions the denoiser is most confident about."""
+    key = jax.random.PRNGKey(12)
+    # position (0,0) gets a near-delta distribution on token 3; everything
+    # else uniform -> (0,0) must be revealed first and equal 3
+    def denoiser(x_t, t):
+        logits = jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+        return logits.at[:, 0, 0, 3].set(50.0)
+
+    out = np.asarray(diffusion.sample(
+        key, denoiser, CFG, n_samples=8, sample_steps=12,
+        unmask_mode="confidence", choice_temperature=0.0,
+    ))
+    np.testing.assert_array_equal(out[:, 0, 0], 3)
+
+
+def test_confidence_sampler_jits_and_is_deterministic_per_key():
+    def denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    f = jax.jit(lambda k: diffusion.sample(
+        k, denoiser, CFG, n_samples=2, sample_steps=25,
+        unmask_mode="confidence",
+    ))
+    a = np.asarray(f(jax.random.PRNGKey(13)))
+    b = np.asarray(f(jax.random.PRNGKey(13)))
+    c = np.asarray(f(jax.random.PRNGKey(14)))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_random_mode_unchanged_by_confidence_refactor():
+    """Default mode is 'random' and both spellings draw identically (the
+    shared-body refactor kept the key split order and change/unmask math
+    untouched; the RNG-sensitive reference-parity claims are covered by
+    the stride-1 schedule tests above)."""
+    def denoiser(x_t, t):
+        # weak position-dependent preference so values are nontrivial
+        pos = (jnp.arange(7)[:, None] + jnp.arange(7)[None, :]) % 3
+        return jax.nn.one_hot(
+            jnp.broadcast_to(pos, x_t.shape), CFG.num_embeddings
+        ) * 2.0
+
+    a = np.asarray(diffusion.sample(
+        jax.random.PRNGKey(15), denoiser, CFG, n_samples=2
+    ))
+    b = np.asarray(diffusion.sample(
+        jax.random.PRNGKey(15), denoiser, CFG, n_samples=2,
+        unmask_mode="random",
+    ))
+    np.testing.assert_array_equal(a, b)
