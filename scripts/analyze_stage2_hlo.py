@@ -50,9 +50,13 @@ def shape_bytes(sig: str) -> int:
 
 def main():
     bf16 = "--bf16" in sys.argv
+    backend = "auto"
+    for a in sys.argv[1:]:
+        if a.startswith("--backend="):
+            backend = a.split("=", 1)[1]
     cfg = DiffusionConfig()
     denoiser = SpikingDenoiser(
-        cfg, backend="auto", dtype=jnp.bfloat16 if bf16 else None
+        cfg, backend=backend, dtype=jnp.bfloat16 if bf16 else None
     )
     key = jax.random.PRNGKey(0)
     x0 = jax.random.randint(key, (BATCH, 7, 7), 0, cfg.num_embeddings,
@@ -78,7 +82,7 @@ def main():
         out_b = shape_bytes(sig.split(" ")[0] if "(" not in sig else sig)
         rows.append((out_b, op, name, line[:200]))
     rows.sort(reverse=True)
-    print(f"dtype={'bf16' if bf16 else 'fp32'} batch={BATCH}")
+    print(f"dtype={'bf16' if bf16 else 'fp32'} backend={backend} batch={BATCH}")
     print(f"total output bytes (entry): {sum(r[0] for r in rows)/1e9:.2f} GB")
     by_op = defaultdict(float)
     for b, op, *_ in rows:

@@ -114,6 +114,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "'random' (the reference's uniform subset) or "
                         "'confidence' (MaskGIT-style highest-confidence "
                         "tokens first; much better at low --sample_steps)")
+    p.add_argument("--sample_spacing", default="linear",
+                   choices=["linear", "cosine"],
+                   help="t-schedule spacing for --sample_steps < 49: "
+                        "'linear' strides uniformly; 'cosine' follows the "
+                        "MaskGIT masked-fraction trajectory (few reveals "
+                        "early, many late)")
     p.add_argument("--choice_temperature", type=float, default=1.0,
                    help="Gumbel noise scale for --unmask_mode confidence "
                         "(annealed to 0 over the schedule)")
@@ -253,7 +259,16 @@ def main(argv: Optional[List[str]] = None) -> None:
         mask_id=mask_id,
         num_steps=args.num_steps,
     )
-    denoiser = SpikingDenoiser(d_cfg, backend=args.lif_backend,
+    d_backend = args.lif_backend
+    if (d_backend == "auto" and args.data_parallel == 1
+            and jax.devices()[0].platform == "tpu"):
+        # measured winner for single-chip stage-2 training on v5e:
+        # fused BN-apply+LIF kernel, 27.8 ms/step bf16 vs 40.3 unrolled
+        # (batch 256). A Pallas custom call is opaque to GSPMD, so
+        # data-parallel runs keep the layout-free unrolled path.
+        d_backend = "bnlif"
+        print("denoiser backend: bnlif (fused BN+LIF kernel)")
+    denoiser = SpikingDenoiser(d_cfg, backend=d_backend,
                                dtype=jnp.bfloat16 if args.bf16 else None)
     diff_path = os.path.join(save_path, "diff_result")
     os.makedirs(diff_path, exist_ok=True)
@@ -411,6 +426,7 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
             sample_steps=args.sample_steps,
             unmask_mode=args.unmask_mode,
             choice_temperature=args.choice_temperature,
+            spacing=args.sample_spacing,
         )
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from spiking_diffusion_tpu.config import DiffusionConfig
 from spiking_diffusion_tpu.models.layers import LIF, SeqBatchNorm, SeqConv
+from spiking_diffusion_tpu.ops.bn_lif import bn_lif
+from spiking_diffusion_tpu.profiling import syops as _syops
 from spiking_diffusion_tpu.snn.encoding import direct_encode
 
 
@@ -45,16 +47,32 @@ class SpikingDenoiser(nn.Module):
         # repeats equal stats over N) at 1/T of the first block's conv work
         x_seq = direct_encode(x, 1)  # (1, N, h, w, 2)
 
+        fused_bnlif = self.backend == "bnlif"
         feats = []
         h = x_seq
         for i, ch in enumerate(c.denoiser_channels):
             h = SeqConv(ch, kernel_size=3, strides=1, padding=1,
                         dtype=self.dtype)(h)
-            h = SeqBatchNorm(use_running_average=not train,
-                             dtype=self.dtype)(h)
-            if i == 0:
-                h = jnp.broadcast_to(h, (c.num_steps,) + h.shape[1:])
-            h = LIF(params=p, backend=self.backend)(h, train=train)
+            if fused_bnlif:
+                # fused BN-apply+LIF Pallas kernel (ops/bn_lif.py): the
+                # stats (and running updates) stay in SeqBatchNorm; the
+                # normalization application + T-step recurrence run in
+                # one VMEM-resident kernel. Block 0's length-1 time axis
+                # is broadcast INSIDE the kernel (t_out) — same math as
+                # the jnp.broadcast_to below, zero extra HBM traffic.
+                sc, sh = SeqBatchNorm(
+                    use_running_average=not train, dtype=self.dtype
+                )(h, return_affine=True)
+                h = bn_lif(h, sc, sh, p,
+                           t_out=c.num_steps if i == 0 else None)
+                self.sow("syops", "counters",
+                         _syops.neuron_entry(h, h))
+            else:
+                h = SeqBatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(h)
+                if i == 0:
+                    h = jnp.broadcast_to(h, (c.num_steps,) + h.shape[1:])
+                h = LIF(params=p, backend=self.backend)(h, train=train)
             feats.append(h)
 
         # U-Net style skip: cat(last, first) on channels

@@ -104,6 +104,7 @@ def sample(
     sample_steps: int | None = None,
     unmask_mode: str = "random",
     choice_temperature: float = 1.0,
+    spacing: str = "linear",
 ) -> jax.Array:
     """Reverse sampler: all-mask start, progressive unmasking.
 
@@ -143,9 +144,20 @@ def sample(
     big_t = cfg.num_timesteps
     steps = big_t if sample_steps is None else min(int(sample_steps), big_t)
     if steps >= 2:
+        u = np.linspace(0.0, 1.0, steps)
+        if spacing == "cosine":
+            # MaskGIT-style masked-fraction trajectory cos(pi/2 * u):
+            # few reveals early (sparse context), many late
+            frac = np.cos(0.5 * np.pi * u)
+        elif spacing == "linear":
+            frac = 1.0 - u
+        else:
+            raise ValueError(f"unknown spacing {spacing!r}")
+        # visited t-values: masked fraction after step i is (t_i - 1)/T
         ts = np.unique(
-            np.round(np.linspace(big_t, 1, steps)).astype(np.int64)
+            np.round(1.0 + frac * (big_t - 1.0)).astype(np.int64)
         )[::-1]
+        ts[-1] = 1  # always finish fully unmasked
     else:
         ts = np.asarray([1], np.int64)  # one shot: unmask everything
     prev = np.concatenate([[big_t + 1], ts[:-1]])

@@ -126,12 +126,81 @@ class SeqConvTranspose(nn.Module):
         return y_seq
 
 
+class BatchNorm(nn.Module):
+    """Variable-compatible stand-in for ``flax.linen.BatchNorm`` that can
+    hand back the folded per-channel affine instead of applying it.
+
+    Same variable layout (params ``scale``/``bias``, batch_stats
+    ``mean``/``var``), same fp32 fast-variance statistics, same running
+    update ``ra = m * ra + (1-m) * new`` — checkpoints are interchangeable
+    with the flax module (asserted bit-exactly in tests/test_layers.py).
+    Exists so :func:`ops.bn_lif.bn_lif` can fuse the application into the
+    LIF kernel: ``y = x * scale_eff + shift_eff`` with
+    ``scale_eff = gamma * rsqrt(var + eps)``,
+    ``shift_eff = beta - mean * scale_eff``.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, return_affine: bool = False):
+        feat = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            # flax use_fast_variance (its default): E[x^2] - E[x]^2,
+            # clipped at 0 against round-off
+            var = jnp.maximum(
+                0.0, jnp.mean(xf * xf, axes) - jnp.square(mean)
+            )
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * var
+                )
+        scale_eff = gamma * jax.lax.rsqrt(var + self.epsilon)
+        shift_eff = beta - mean * scale_eff
+        if return_affine:
+            return scale_eff, shift_eff
+        # unfused application mirrors flax._normalize exactly: ALL
+        # arithmetic in fp32 (mean/var/params are fp32, so x promotes),
+        # multiplier built first, and only the final result cast to
+        # dtype — bit-identical rounding to the flax module
+        mul = jax.lax.rsqrt(var + self.epsilon) * gamma
+        y = (x - mean) * mul + beta  # fp32 (params are fp32)
+        return y if self.dtype is None else y.astype(self.dtype)
+
+
 class SeqBatchNorm(nn.Module):
     """BatchNorm over (T, N, ...) with statistics over T*N jointly.
 
     Parity: spikingjelly ``layer.BatchNorm2d`` in 'm' step mode
     (``layer.py:459-466``) — flatten T into batch, then standard BN.
     torch defaults: eps=1e-5, momentum=0.1 (== flax momentum 0.9).
+
+    ``return_affine=True`` computes statistics (and updates running
+    stats) but returns the folded per-channel ``(scale, shift)`` fp32
+    pair instead of the normalized stack — the application then happens
+    inside the fused BN+LIF kernel (``ops/bn_lif.py``), saving a full
+    HBM pass over the stack.
     """
 
     use_running_average: Optional[bool] = None
@@ -141,23 +210,29 @@ class SeqBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_seq: jax.Array, use_running_average: Optional[bool] = None
-    ) -> jax.Array:
+        self,
+        x_seq: jax.Array,
+        use_running_average: Optional[bool] = None,
+        return_affine: bool = False,
+    ):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        bn = nn.BatchNorm(
+        bn = BatchNorm(
             use_running_average=ura,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
         )
-        y_seq = seq_apply(bn, x_seq)
         # affine BN: 2 ops per element (``syops/ops.py:105-118``)
         self.sow(
             "syops", "counters", _syops.classify(2.0 * x_seq.size, x_seq)
         )
-        return y_seq
+        if return_affine:
+            t = x_seq.shape[0]
+            flat = x_seq.reshape((t * x_seq.shape[1],) + x_seq.shape[2:])
+            return bn(flat, return_affine=True)
+        return seq_apply(bn, x_seq)
 
 
 class SeqLinear(nn.Module):

@@ -145,6 +145,7 @@ def sample_codes(
     sample_steps: Optional[int] = None,
     unmask_mode: str = "random",
     choice_temperature: float = 1.0,
+    spacing: str = "linear",
     data_parallel: int = 1,
     fused: bool = False,
     fused_dtype=None,
@@ -193,6 +194,7 @@ def sample_codes(
                     temperature=temperature, sample_steps=sample_steps,
                     unmask_mode=unmask_mode,
                     choice_temperature=choice_temperature,
+                    spacing=spacing,
                 )
 
             try:
@@ -230,6 +232,7 @@ def sample_codes(
             temperature=temperature, sample_steps=sample_steps,
             unmask_mode=unmask_mode,
             choice_temperature=choice_temperature,
+            spacing=spacing,
         ),
         **({"out_shardings": out_sharding} if out_sharding else {}),
     )

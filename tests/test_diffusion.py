@@ -306,3 +306,34 @@ def test_random_mode_unchanged_by_confidence_refactor():
         unmask_mode="random",
     ))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("mode", ["random", "confidence"])
+def test_cosine_spacing_unmasks_everything(mode):
+    def denoiser(x_t, t):
+        return jnp.zeros(x_t.shape + (CFG.num_embeddings,), jnp.float32)
+
+    out = np.asarray(diffusion.sample(
+        jax.random.PRNGKey(21), denoiser, CFG, n_samples=4,
+        sample_steps=12, unmask_mode=mode, spacing="cosine",
+    ))
+    assert (out == CFG.mask_id).sum() == 0
+
+
+def test_linear_spacing_full_steps_bit_compat():
+    """spacing='linear' at the full step count reproduces the default
+    schedule draws exactly (the reference's 1/t at input t)."""
+    def denoiser(x_t, t):
+        pos = (jnp.arange(7)[:, None] * 7 + jnp.arange(7)[None, :]) % 5
+        return jax.nn.one_hot(
+            jnp.broadcast_to(pos, x_t.shape), CFG.num_embeddings
+        ) * 3.0
+
+    a = np.asarray(diffusion.sample(
+        jax.random.PRNGKey(22), denoiser, CFG, n_samples=2
+    ))
+    b = np.asarray(diffusion.sample(
+        jax.random.PRNGKey(22), denoiser, CFG, n_samples=2,
+        sample_steps=49, spacing="linear",
+    ))
+    np.testing.assert_array_equal(a, b)

@@ -93,3 +93,74 @@ def test_lif_module_binary_output():
     vals = set(np.unique(np.asarray(y)))
     assert vals <= {0.0, 1.0}
     assert y.shape == x.shape
+
+
+def test_batchnorm_standin_bitexact_vs_flax():
+    """models.layers.BatchNorm (the affine-capable stand-in) must be
+    bit-identical to flax.linen.BatchNorm — outputs AND updated running
+    stats, fp32 and bf16, train and eval — so swapping it under
+    SeqBatchNorm changes nothing for existing checkpoints."""
+    import flax.linen as fnn
+
+    from spiking_diffusion_tpu.models.layers import BatchNorm
+
+    k = jax.random.PRNGKey(0)
+    x32 = jax.random.normal(k, (24, 5, 5, 7), jnp.float32) * 3.0 + 0.5
+    for dtype, x in ((None, x32), (jnp.bfloat16, x32.astype(jnp.bfloat16))):
+        mine = BatchNorm(use_running_average=False, momentum=0.9,
+                         epsilon=1e-5, dtype=dtype)
+        ref = fnn.BatchNorm(use_running_average=False, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype)
+        vm = mine.init(k, x)
+        vr = ref.init(k, x)
+        # same variable layout
+        assert jax.tree_util.tree_structure(vm) == \
+            jax.tree_util.tree_structure(vr)
+        # nudge params off their init so scale/bias actually matter
+        vm = jax.tree_util.tree_map(lambda a: a + 0.25, vm)
+        vr = jax.tree_util.tree_map(lambda a: a + 0.25, vr)
+        ym, sm = mine.apply(vm, x, mutable=["batch_stats"])
+        yr, sr = ref.apply(vr, x, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(ym), np.asarray(yr))
+        for key in ("mean", "var"):
+            np.testing.assert_array_equal(
+                np.asarray(sm["batch_stats"][key]),
+                np.asarray(sr["batch_stats"][key]),
+            )
+        # eval mode: running stats path
+        mine_e = BatchNorm(use_running_average=True, epsilon=1e-5,
+                           dtype=dtype)
+        ref_e = fnn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                              dtype=dtype)
+        ym_e = mine_e.apply(
+            {"params": vm["params"], "batch_stats": sm["batch_stats"]}, x
+        )
+        yr_e = ref_e.apply(
+            {"params": vr["params"], "batch_stats": sr["batch_stats"]}, x
+        )
+        np.testing.assert_array_equal(np.asarray(ym_e), np.asarray(yr_e))
+
+
+def test_seq_batchnorm_return_affine_consistent():
+    """The folded (scale, shift) pair reproduces the normalized output:
+    x*scale + shift == SeqBatchNorm(x) (fp32, same stats)."""
+    from spiking_diffusion_tpu.models.layers import SeqBatchNorm
+
+    k = jax.random.PRNGKey(1)
+    x = jax.random.normal(k, (4, 6, 3, 3, 5), jnp.float32) * 2.0
+    bn = SeqBatchNorm(use_running_average=False)
+    v = bn.init(k, x)
+    v = jax.tree_util.tree_map(lambda a: a + 0.3, v)
+    y, s1 = bn.apply(v, x, mutable=["batch_stats", "syops"])
+    (sc, sh), s2 = bn.apply(
+        v, x, return_affine=True, mutable=["batch_stats", "syops"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(x * sc + sh), np.asarray(y), rtol=1e-5, atol=1e-6
+    )
+    # identical running-stat updates either way
+    for key in ("mean", "var"):
+        np.testing.assert_array_equal(
+            np.asarray(s1["batch_stats"]["BatchNorm_0"][key]),
+            np.asarray(s2["batch_stats"]["BatchNorm_0"][key]),
+        )
