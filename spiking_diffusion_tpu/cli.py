@@ -260,15 +260,19 @@ def main(argv: Optional[List[str]] = None) -> None:
         num_steps=args.num_steps,
     )
     d_backend = args.lif_backend
-    if (d_backend == "auto" and args.data_parallel == 1
-            and jax.devices()[0].platform == "tpu"):
-        # measured winner for single-chip stage-2 training on v5e:
-        # fused BN-apply+LIF kernel, 27.8 ms/step bf16 vs 40.3 unrolled
-        # (batch 256). A Pallas custom call is opaque to GSPMD, so
-        # data-parallel runs keep the layout-free unrolled path.
+    d_bn_axis = None
+    if d_backend == "auto" and jax.devices()[0].platform == "tpu":
+        # measured winner for stage-2 training on v5e: fused BN-apply+LIF
+        # kernel, 27.8 ms/step bf16 vs 40.3 unrolled (batch 256). The
+        # Pallas call is opaque to GSPMD, so data-parallel runs take the
+        # explicit shard_map step with SyncBN (stage2.py).
         d_backend = "bnlif"
-        print("denoiser backend: bnlif (fused BN+LIF kernel)")
+        if args.data_parallel > 1:
+            d_bn_axis = "data"
+        print("denoiser backend: bnlif (fused BN+LIF kernel)"
+              + (" + shard_map DP" if d_bn_axis else ""))
     denoiser = SpikingDenoiser(d_cfg, backend=d_backend,
+                               bn_axis_name=d_bn_axis,
                                dtype=jnp.bfloat16 if args.bf16 else None)
     diff_path = os.path.join(save_path, "diff_result")
     os.makedirs(diff_path, exist_ok=True)

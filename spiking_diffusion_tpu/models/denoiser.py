@@ -27,6 +27,11 @@ class SpikingDenoiser(nn.Module):
     cfg: DiffusionConfig
     backend: str = "auto"
     dtype: jnp.dtype = None  # e.g. jnp.bfloat16 for inference
+    # SyncBN: mesh axis name for cross-device BN statistics. Set when the
+    # train step runs inside shard_map (the Pallas 'bnlif' backend is
+    # opaque to GSPMD, so its data-parallel path is explicit shard_map +
+    # pmean-synced BN — train/stage2.make_train_step_diffusion_dp).
+    bn_axis_name: str = None
 
     @nn.compact
     def __call__(
@@ -61,7 +66,8 @@ class SpikingDenoiser(nn.Module):
                 # is broadcast INSIDE the kernel (t_out) — same math as
                 # the jnp.broadcast_to below, zero extra HBM traffic.
                 sc, sh = SeqBatchNorm(
-                    use_running_average=not train, dtype=self.dtype
+                    use_running_average=not train, dtype=self.dtype,
+                    axis_name=self.bn_axis_name,
                 )(h, return_affine=True)
                 h = bn_lif(h, sc, sh, p,
                            t_out=c.num_steps if i == 0 else None)
@@ -69,7 +75,8 @@ class SpikingDenoiser(nn.Module):
                          _syops.neuron_entry(h, h))
             else:
                 h = SeqBatchNorm(use_running_average=not train,
-                                 dtype=self.dtype)(h)
+                                 dtype=self.dtype,
+                                 axis_name=self.bn_axis_name)(h)
                 if i == 0:
                     h = jnp.broadcast_to(h, (c.num_steps,) + h.shape[1:])
                 h = LIF(params=p, backend=self.backend)(h, train=train)

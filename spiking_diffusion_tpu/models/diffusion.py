@@ -66,33 +66,55 @@ def _masked_cross_entropy(
     return jnp.sum(tok_ce, axis=(1, 2))
 
 
+def corrupt(
+    key: jax.Array, x_0: jax.Array, cfg: DiffusionConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Draw the training corruption for a batch: (x_t, t, pt, x_0_ignore).
+
+    Split out of :func:`train_loss` so the data-parallel shard_map step
+    can draw it on the GLOBAL batch (bitwise-identical to single-device)
+    and then batch-shard the results into the per-device bodies.
+    """
+    kt, km = jax.random.split(key)
+    t, pt = sample_time(kt, x_0.shape[0], cfg.num_timesteps)
+    x_t, x_0_ignore, _ = q_sample(km, x_0, t, cfg.mask_id, cfg.num_timesteps)
+    return x_t, t, pt, x_0_ignore
+
+
+def per_sample_loss(
+    denoise_fn: DenoiseFn,
+    x_t: jax.Array,
+    t: jax.Array,
+    pt: jax.Array,
+    x_0_ignore: jax.Array,
+    cfg: DiffusionConfig,
+) -> jax.Array:
+    """(N,) per-sample loss given a drawn corruption.
+
+    Parity: ``_train_loss`` (``vq_diffusion.py:75-101``): default
+    'reweighted_elbo' = (1 - t/T) * CE / (ln2 * D);
+    'elbo' = CE / t / pt / (ln2 * D).
+    """
+    d = x_t.shape[1] * x_t.shape[2]
+    logits = denoise_fn(x_t, t)
+    ce = _masked_cross_entropy(logits, x_0_ignore)
+    tf = t.astype(jnp.float32)
+    if cfg.loss_type == "elbo":
+        return ce / tf / pt / (math.log(2) * d)
+    if cfg.loss_type == "reweighted_elbo":
+        return (1.0 - tf / cfg.num_timesteps) * ce / (math.log(2) * d)
+    raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+
+
 def train_loss(
     key: jax.Array,
     denoise_fn: DenoiseFn,
     x_0: jax.Array,
     cfg: DiffusionConfig,
 ) -> jax.Array:
-    """Scalar diffusion training loss over a batch of code grids (N,h,w).
-
-    Parity: ``_train_loss`` (``vq_diffusion.py:75-101``): default
-    'reweighted_elbo' = mean over batch of (1 - t/T) * CE / (ln2 * D);
-    'elbo' = CE / t / pt / (ln2 * D).
-    """
-    kt, km = jax.random.split(key)
-    n = x_0.shape[0]
-    d = x_0.shape[1] * x_0.shape[2]
-    t, pt = sample_time(kt, n, cfg.num_timesteps)
-    x_t, x_0_ignore, _ = q_sample(km, x_0, t, cfg.mask_id, cfg.num_timesteps)
-    logits = denoise_fn(x_t, t)
-    ce = _masked_cross_entropy(logits, x_0_ignore)
-    tf = t.astype(jnp.float32)
-    if cfg.loss_type == "elbo":
-        loss = ce / tf / pt / (math.log(2) * d)
-    elif cfg.loss_type == "reweighted_elbo":
-        loss = (1.0 - tf / cfg.num_timesteps) * ce / (math.log(2) * d)
-    else:
-        raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
-    return jnp.mean(loss)
+    """Scalar diffusion training loss over a batch of code grids (N,h,w)."""
+    x_t, t, pt, x_0_ignore = corrupt(key, x_0, cfg)
+    return jnp.mean(per_sample_loss(denoise_fn, x_t, t, pt, x_0_ignore, cfg))
 
 
 def sample(

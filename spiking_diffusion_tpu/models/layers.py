@@ -144,6 +144,12 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    # cross-device statistics sync (SyncBN): when set, batch mean and
+    # E[x^2] are pmean-ed over the named mesh axis before the variance is
+    # formed — inside ``shard_map`` over equal-size batch shards this
+    # reproduces the single-device T*N-joint statistics exactly (same
+    # convention as flax.linen.BatchNorm's axis_name).
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, return_affine: bool = False):
@@ -162,11 +168,15 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
+            msq = jnp.mean(xf * xf, axes)
+            # during init the module runs outside shard_map (no bound
+            # mesh axis) — local stats only, same as flax BatchNorm
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                msq = jax.lax.pmean(msq, self.axis_name)
             # flax use_fast_variance (its default): E[x^2] - E[x]^2,
             # clipped at 0 against round-off
-            var = jnp.maximum(
-                0.0, jnp.mean(xf * xf, axes) - jnp.square(mean)
-            )
+            var = jnp.maximum(0.0, msq - jnp.square(mean))
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value
@@ -207,6 +217,7 @@ class SeqBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None  # SyncBN over a shard_map mesh axis
 
     @nn.compact
     def __call__(
@@ -223,6 +234,7 @@ class SeqBatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
+            axis_name=self.axis_name,
         )
         # affine BN: 2 ops per element (``syops/ops.py:105-118``)
         self.sow(

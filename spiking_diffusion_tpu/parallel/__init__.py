@@ -15,6 +15,7 @@ from spiking_diffusion_tpu.parallel.mesh import (
     replicate,
     replicated_sharding,
     shard_batch,
+    shard_map_compat,
 )
 from spiking_diffusion_tpu.parallel.tp import (
     make_mesh_2d,
@@ -30,6 +31,7 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_map_compat",
     "shard_batch_2d",
     "shard_state_tp",
     "shard_variables_tp",

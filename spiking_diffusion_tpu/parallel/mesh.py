@@ -61,3 +61,28 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         return x
 
     return jax.tree.map(place, tree)
+
+
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """``jax.shard_map`` across jax API generations.
+
+    jax >= 0.8 renamed ``check_rep`` to ``check_vma`` and promoted
+    shard_map out of experimental; TypeError covers versions where
+    ``jax.shard_map`` exists but still takes the old flag. Replication
+    checking is disabled either way: bodies here contain Pallas custom
+    calls (opaque to the rep checker) and explicit collectives.
+    """
+    try:
+        from jax import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except (ImportError, TypeError):  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )

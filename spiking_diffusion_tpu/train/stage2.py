@@ -57,6 +57,75 @@ def make_train_step_diffusion(
     return train_step
 
 
+def make_train_step_diffusion_dp(cfg: DiffusionConfig, mesh, donate: bool = True):
+    """Explicit-collective data-parallel train step (``shard_map``).
+
+    Exists because the 'bnlif' denoiser backend is a Pallas custom call —
+    opaque to GSPMD auto-partitioning — so the sharded-inputs+jit recipe
+    used everywhere else can't split it over devices. Here every device
+    runs the fused kernel on its local batch shard and the collectives
+    are explicit:
+
+      * corruption randomness (t, x_t, x_0_ignore) is drawn OUTSIDE the
+        shard_map on the global batch — bitwise-identical draws to
+        :func:`make_train_step_diffusion`;
+      * BN statistics sync via pmean inside the module (the denoiser must
+        be built with ``bn_axis_name == mesh.axis_names[0]`` — SyncBN),
+        reproducing the single-device T*N-joint statistics;
+      * per-device grads (and the scalar loss) are pmean-ed; updates are
+        therefore identical on every device and equal to single-device up
+        to reduction order (asserted in tests/test_bnlif_dp.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from spiking_diffusion_tpu.parallel import shard_map_compat
+
+    axis = mesh.axis_names[0]
+
+    def local_step(state: TrainState, x_t, t, pt, x0_ignore):
+        def loss_fn(params, batch_stats):
+            mutated = {}
+
+            def denoise(x, tt):
+                nonlocal mutated
+                logits, mut = state.apply_fn(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, tt, train=True, mutable=["batch_stats"],
+                )
+                mutated = mut
+                return logits
+
+            loss = jnp.mean(
+                diffusion.per_sample_loss(denoise, x_t, t, pt, x0_ignore, cfg)
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats
+        )
+        # local loss is the mean over this device's shard; shards are
+        # equal-size, so pmean == the global batch mean. Same for grads
+        # (the BN-stat cross-device terms arrive via the psum transposes
+        # of the SyncBN pmeans, so pmean(grads) IS the global gradient).
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss}
+
+    smapped = shard_map_compat(
+        local_step, mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, x0: jax.Array, key: jax.Array):
+        x_t, t, pt, x0_ignore = diffusion.corrupt(key, x0, cfg)
+        return smapped(state, x_t, t, pt, x0_ignore)
+
+    return train_step
+
+
 def train_diffusion(
     denoiser,
     cfg: DiffusionConfig,
@@ -106,6 +175,16 @@ def train_diffusion(
         mesh = make_mesh(data_parallel)
         state = replicate(state, mesh)
         place = lambda b: shard_batch(jnp.asarray(b), mesh)
+        bn_axis = getattr(denoiser, "bn_axis_name", None)
+        if bn_axis is not None:
+            # GSPMD-opaque backend (bnlif Pallas kernel): explicit
+            # shard_map step with SyncBN over the mesh axis
+            if bn_axis != mesh.axis_names[0]:
+                raise ValueError(
+                    f"denoiser bn_axis_name={bn_axis!r} != mesh axis "
+                    f"{mesh.axis_names[0]!r}"
+                )
+            step_fn = make_train_step_diffusion_dp(cfg, mesh)
 
     n = indices.shape[0]
     steps_per_epoch = n // batch_size
