@@ -126,6 +126,16 @@ import os as _os
 # ones); the env override exists for on-hardware A/B runs
 _CONV_MODE = _os.environ.get("SD_CONV_MODE", "xyrow")
 _UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
+# partial T-loop unroll factor (1 = none): fori_loop over T/u with u
+# inlined steps per iteration. Measured NEUTRAL-to-NEGATIVE on v5e
+# (584.0 at block_n=8/u=2 vs 584.0 at u=1; 581.2 at block_n=16/u=2 vs
+# 602.4 at u=1) — the fori_loop body already saturates the scheduler.
+_UNROLL_FACTOR = int(_os.environ.get("SD_FUSED_UNROLL", "1"))
+# batch rows per kernel tile. Measured on v5e (batch 2048 bf16, end-to-
+# end generation): 8 -> 584.0 img/s, 16 -> 602.4 (wider M dim: 784 rows
+# = 6.1 MXU tiles vs 3.1, fewer grid iterations), 24 -> 337.0 (VMEM
+# pressure kills it), 32 -> Mosaic compile failure. 16 is the default.
+_BLOCK_N = int(_os.environ.get("SD_FUSED_BLOCK_N", "16"))
 _INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
 # half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU
 # overlap gains); kept as an experiment knob
@@ -278,6 +288,15 @@ def _make_kernel(
             for _ in range(t_steps):
                 carry = body(0, carry)
             _, accs = carry
+        elif _UNROLL_FACTOR > 1 and t_steps % _UNROLL_FACTOR == 0:
+            def body_u(i, carry):
+                for _ in range(_UNROLL_FACTOR):
+                    carry = body(i, carry)
+                return carry
+
+            _, accs = jax.lax.fori_loop(
+                0, t_steps // _UNROLL_FACTOR, body_u, (vs0, acc0)
+            )
         else:
             _, accs = jax.lax.fori_loop(0, t_steps, body, (vs0, acc0))
         # firing-rate readout of the logits (vq_diffusion.py:206)
@@ -343,7 +362,7 @@ def denoiser_cost(
     cfg: DiffusionConfig,
     n: int,
     itemsize: int = 2,
-    block_n: int = 8,
+    block_n: int = None,
     useful_only: bool = False,
 ) -> Tuple[float, float]:
     """(flops, hbm bytes) of ONE fused denoiser forward at batch n.
@@ -362,6 +381,7 @@ def denoiser_cost(
     work is sum_{dy,dx}(hw-|dy|)(hw-|dx|) / (9 hw^2) (~0.82 at 7x7) —
     hardware MFU counts all taps, useful-work MFU only these.
     """
+    block_n = _BLOCK_N if block_n is None else block_n
     hw = cfg.latent_size
     hw2 = hw ** 2
     ch = tuple(cfg.denoiser_channels)
@@ -392,7 +412,7 @@ def denoiser_cost(
 def make_fused_denoise_apply(
     cfg: DiffusionConfig,
     dtype=jnp.bfloat16,
-    block_n: int = 8,
+    block_n: int = None,
     interpret: bool | None = None,
 ) -> Callable[[dict, jax.Array, jax.Array], jax.Array]:
     """Build apply_fn(variables, x_tokens (N,h,w) int, t (N,) int) ->
@@ -405,6 +425,7 @@ def make_fused_denoise_apply(
     """
     if interpret is None:
         interpret = _INTERPRET
+    block_n = _BLOCK_N if block_n is None else block_n
     hw = cfg.latent_size
     channels = tuple(cfg.denoiser_channels)
     n_l = len(channels)
@@ -493,7 +514,7 @@ def make_fused_denoise_fn(
     variables,
     cfg: DiffusionConfig,
     dtype=jnp.bfloat16,
-    block_n: int = 8,
+    block_n: int = None,
     interpret: bool | None = None,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """:func:`make_fused_denoise_apply` with ``variables`` bound — the
@@ -557,7 +578,7 @@ def make_denoise_fn(
     apply_fn,
     fused="auto",
     dtype=jnp.float32,
-    block_n: int = 8,
+    block_n: int = None,
     interpret: bool | None = None,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """The one place that picks the sampling backend.
