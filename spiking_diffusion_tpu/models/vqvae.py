@@ -23,6 +23,8 @@ from spiking_diffusion_tpu.models.layers import (
     SeqConv,
     SeqConvTranspose,
 )
+from spiking_diffusion_tpu.ops.bn_lif import bn_lif
+from spiking_diffusion_tpu.profiling import syops as _syops
 from spiking_diffusion_tpu.snn.encoding import direct_encode
 from spiking_diffusion_tpu.snn.neuron import NeuronParams
 from spiking_diffusion_tpu.snn.temporal import membrane_output, psp
@@ -60,6 +62,7 @@ class Encoder(nn.Module):
         if self.dtype is not None:
             x_seq = x_seq.astype(self.dtype)
         t_steps = x_seq.shape[0]
+        fused = self.backend == "bnlif"
         for i, (feats, k, s, pad) in enumerate((
             (c1, 3, 2, 1),
             (c2, 3, 2, 1),
@@ -68,11 +71,33 @@ class Encoder(nn.Module):
             h = x_seq[:1] if (i == 0 and first_replicated) else x_seq
             h = SeqConv(feats, kernel_size=k, strides=s, padding=pad,
                         dtype=self.dtype)(h)
-            h = SeqBatchNorm(use_running_average=not train,
-                             dtype=self.dtype)(h)
-            if i == 0 and first_replicated:
-                h = jnp.broadcast_to(h, (t_steps,) + h.shape[1:])
-            x_seq = LIF(params=p, backend=self.backend)(h, train=train)
+            if fused:
+                # fused BN-apply + LIF Pallas kernel (ops/bn_lif.py): BN
+                # stats stay in SeqBatchNorm; the normalize + T-step
+                # recurrence run in one VMEM-resident kernel, with the
+                # first block's length-1 time axis broadcast inside it.
+                # MEASURED NEGATIVE for stage-1 training on v5e (30.6 ms
+                # vs 23.7 'auto' at batch 256 bf16): these layers' C=16..
+                # 64 fills only C/128 of the TPU lanes, so the kernel
+                # pays a 128/C padding factor on VMEM tiles and VPU ops
+                # that outweighs the saved HBM traffic (19.8 -> 12.4 GB).
+                # Kept parity-locked (tests/test_vqvae_bnlif.py) as a
+                # characterized variant; 'auto' stays the stage-1 default.
+                sc, sh = SeqBatchNorm(
+                    use_running_average=not train, dtype=self.dtype
+                )(h, return_affine=True)
+                x_seq = bn_lif(
+                    h, sc, sh, p,
+                    t_out=t_steps if (i == 0 and first_replicated) else None,
+                )
+                self.sow("syops", "counters",
+                         _syops.neuron_entry(x_seq, x_seq))
+            else:
+                h = SeqBatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(h)
+                if i == 0 and first_replicated:
+                    h = jnp.broadcast_to(h, (t_steps,) + h.shape[1:])
+                x_seq = LIF(params=p, backend=self.backend)(h, train=train)
         return x_seq
 
 
@@ -93,14 +118,23 @@ class Decoder(nn.Module):
         d1, d2 = self.cfg.dec_channels
         if self.dtype is not None:
             x_seq = x_seq.astype(self.dtype)
+        fused = self.backend == "bnlif"
         for feats in (d1, d2):
             x_seq = SeqConvTranspose(
                 feats, kernel_size=3, strides=2, padding=1, output_padding=1,
                 dtype=self.dtype,
             )(x_seq)
-            x_seq = SeqBatchNorm(use_running_average=not train,
-                                 dtype=self.dtype)(x_seq)
-            x_seq = LIF(params=p, backend=self.backend)(x_seq, train=train)
+            if fused:
+                sc, sh = SeqBatchNorm(
+                    use_running_average=not train, dtype=self.dtype
+                )(x_seq, return_affine=True)
+                x_seq = bn_lif(x_seq, sc, sh, p)
+                self.sow("syops", "counters",
+                         _syops.neuron_entry(x_seq, x_seq))
+            else:
+                x_seq = SeqBatchNorm(use_running_average=not train,
+                                     dtype=self.dtype)(x_seq)
+                x_seq = LIF(params=p, backend=self.backend)(x_seq, train=train)
         x_seq = SeqConvTranspose(
             self.cfg.in_channels, kernel_size=3, strides=1, padding=1,
             dtype=self.dtype,
@@ -139,7 +173,10 @@ class VectorQuantizer(nn.Module):
             name="poisson_conv",
         )
         self.asg_bn = SeqBatchNorm(name="poisson_bn")
-        self.asg_lif = LIF(params=_neuron_params(c), backend=self.backend)
+        # 'bnlif' is a block-level Conv+BN+LIF fusion used by Encoder/
+        # Decoder; the ASG's bare LIF falls back to the plain backends
+        asg_backend = "auto" if self.backend == "bnlif" else self.backend
+        self.asg_lif = LIF(params=_neuron_params(c), backend=asg_backend)
 
     def readout(self, z_seq: jax.Array) -> jax.Array:
         """Hybrid time collapse: (1-a)*memout(z) + a*mean_t(z).
@@ -177,6 +214,17 @@ class VectorQuantizer(nn.Module):
         a length-1 time axis and broadcast into the LIF (see Encoder)."""
         q_seq = direct_encode(q_nhwc, 1)
         q_seq = self.asg_conv(q_seq)
+        if self.backend == "bnlif":
+            sc, sh = self.asg_bn(
+                q_seq, use_running_average=not train, return_affine=True
+            )
+            s_seq = bn_lif(
+                q_seq, sc, sh, _neuron_params(self.cfg),
+                t_out=self.cfg.num_steps,
+            )
+            self.sow("syops", "counters",
+                     _syops.neuron_entry(s_seq, s_seq))
+            return s_seq
         q_seq = self.asg_bn(q_seq, use_running_average=not train)
         q_seq = jnp.broadcast_to(
             q_seq, (self.cfg.num_steps,) + q_seq.shape[1:]

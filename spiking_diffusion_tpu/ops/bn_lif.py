@@ -98,17 +98,17 @@ def _charge(v, z, p: NeuronParams):
 def _fwd_kernel(
     y_ref, sc_ref, sh_ref, s_ref, *, t_in: int, t_out: int, p: NeuronParams
 ):
-    sc = sc_ref[...]  # (1, C) — broadcasts over the (blk, C) rows
+    sc = sc_ref[...]  # (1, C) — broadcasts over the (hb, blk, C) rows
     sh = sh_ref[...]
-    blk, c = y_ref.shape[-2], y_ref.shape[-1]
-    v = jnp.full((blk, c), p.v_reset, jnp.float32)
+    hb, _, blk, c = y_ref.shape
+    v = jnp.full((hb, blk, c), p.v_reset, jnp.float32)
     if t_in == 1:
-        z0 = y_ref[0, 0].astype(jnp.float32) * sc + sh
+        z0 = y_ref[:, 0].astype(jnp.float32) * sc + sh
     for t in range(t_out):
-        z = z0 if t_in == 1 else y_ref[0, t].astype(jnp.float32) * sc + sh
+        z = z0 if t_in == 1 else y_ref[:, t].astype(jnp.float32) * sc + sh
         h = _charge(v, z, p)
         spike = (h >= p.v_threshold).astype(jnp.float32)
-        s_ref[0, t] = spike.astype(s_ref.dtype)
+        s_ref[:, t] = spike.astype(s_ref.dtype)
         if p.hard_reset:
             v = (1.0 - spike) * h + spike * p.v_reset
         else:
@@ -121,13 +121,13 @@ def _bwd_kernel(
 ):
     sc = sc_ref[...]
     sh = sh_ref[...]
-    blk, c = y_ref.shape[-2], y_ref.shape[-1]
+    hb, _, blk, c = y_ref.shape
     # pass 1: recompute pre-reset membranes H[t] into VMEM scratch
-    v = jnp.full((blk, c), p.v_reset, jnp.float32)
+    v = jnp.full((hb, blk, c), p.v_reset, jnp.float32)
     if t_in == 1:
-        z0 = y_ref[0, 0].astype(jnp.float32) * sc + sh
+        z0 = y_ref[:, 0].astype(jnp.float32) * sc + sh
     for t in range(t_out):
-        z = z0 if t_in == 1 else y_ref[0, t].astype(jnp.float32) * sc + sh
+        z = z0 if t_in == 1 else y_ref[:, t].astype(jnp.float32) * sc + sh
         h = _charge(v, z, p)
         h_scr[t] = h
         spike = (h >= p.v_threshold).astype(jnp.float32)
@@ -139,8 +139,8 @@ def _bwd_kernel(
     # pass 2: reverse-time recurrence (identical math to
     # pallas_lif._bwd_kernel); gz = dL/d(normalized input) per step
     dh_dv = 1.0 - p.decay
-    gh_next = jnp.zeros((blk, c), jnp.float32)
-    gy_acc = jnp.zeros((blk, c), jnp.float32)
+    gh_next = jnp.zeros((hb, blk, c), jnp.float32)
+    gy_acc = jnp.zeros((hb, blk, c), jnp.float32)
     gsc_acc = jnp.zeros((1, c), jnp.float32)
     gsh_acc = jnp.zeros((1, c), jnp.float32)
     for t in range(t_out - 1, -1, -1):
@@ -154,22 +154,22 @@ def _bwd_kernel(
         else:
             dv_dh = jnp.ones_like(spike)
             reset_term = -p.v_threshold * surr
-        gst = gs_ref[0, t].astype(jnp.float32)
+        gst = gs_ref[:, t].astype(jnp.float32)
         if p.detach_reset:
             gh = gv * dv_dh + gst * surr
         else:
             gh = gv * (dv_dh + reset_term) + gst * surr
         gz = gh * (p.decay if p.decay_input else 1.0)
-        yt = y_ref[0, 0 if t_in == 1 else t].astype(jnp.float32)
-        gsc_acc = gsc_acc + jnp.sum(gz * yt, axis=0, keepdims=True)
-        gsh_acc = gsh_acc + jnp.sum(gz, axis=0, keepdims=True)
+        yt = y_ref[:, 0 if t_in == 1 else t].astype(jnp.float32)
+        gsc_acc = gsc_acc + jnp.sum(gz * yt, axis=(0, 1))[None]
+        gsh_acc = gsh_acc + jnp.sum(gz, axis=(0, 1))[None]
         if t_in == 1:
             gy_acc = gy_acc + gz
         else:
-            gy_ref[0, t] = (gz * sc).astype(gy_ref.dtype)
+            gy_ref[:, t] = (gz * sc).astype(gy_ref.dtype)
         gh_next = gh
     if t_in == 1:
-        gy_ref[0, 0] = (gy_acc * sc).astype(gy_ref.dtype)
+        gy_ref[:, 0] = (gy_acc * sc).astype(gy_ref.dtype)
     # every grid step maps gsc/gsh to the SAME (1, C) block, so it stays
     # resident in VMEM for the whole kernel: initialize on the first
     # step, accumulate on the rest, flushed once at the end
@@ -191,17 +191,41 @@ def _block_rows(n_pad: int, itemsize: int) -> int:
     return min(n_pad, blk)  # _padded_n rounds n_pad up to a multiple
 
 
+def _hw_block(hw: int, c: int) -> int:
+    """Spatial positions per grid step (largest divisor of hw with
+    hb*c <= ~512).
+
+    Keeps per-grid-step work reasonable when hw is large: without it the
+    stage-1 28x28 layers run thousands of (1, T, blk, C) blocks. NOTE
+    the measured limit (v5e, batch 256 bf16): hw-blocking alone does NOT
+    make this kernel a win for the small-C stage-1 VQ-VAE layers (C=16..
+    64 fills only C/128 of the lanes, so VMEM tiles and VPU ops carry a
+    128/C padding factor: stage-1 step 30.6 ms fused vs 23.7 unfused
+    'auto', at 16x fewer grid steps than hb=1's 29.8). Stage-2's C>=64
+    7x7 layers are unaffected (hb in {1,7}): 28.1 ms, == the hb=1
+    measurement. See Encoder's docstring for the stage-1 guidance.
+    """
+    env = _os.environ.get("SD_BNLIF_HB")
+    cap = int(env) if env else max(1, 512 // c)
+    best = 1
+    for d in range(1, min(hw, cap) + 1):
+        if hw % d == 0:
+            best = d
+    return best
+
+
 @functools.lru_cache(maxsize=None)
 def _build_calls(
     hw: int, t_in: int, t_out: int, n_pad: int, c: int, p: NeuronParams,
     dtype: jnp.dtype, interpret: bool
 ):
     blk = _block_rows(n_pad, jnp.dtype(dtype).itemsize)
-    grid = (n_pad // blk, hw)
+    hb = _hw_block(hw, c)
+    grid = (n_pad // blk, hw // hb)
 
     def xspec(t):
         return pl.BlockSpec(
-            (1, t, blk, c), lambda i, h: (h, 0, i, 0),
+            (hb, t, blk, c), lambda i, h: (h, 0, i, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -209,12 +233,20 @@ def _build_calls(
         (1, c), lambda i, h: (0, 0), memory_space=pltpu.VMEM
     )
 
+    # sub-128-lane channels (stage-1: C=16..64) are padded to 128 lanes
+    # in VMEM, so nominally-small blocks can exceed Mosaic's default
+    # 16 MB scoped budget; raise it (same as the sampling megakernel)
+    cparams = (
+        None if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    )
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, t_in=t_in, t_out=t_out, p=p),
         grid=grid,
         in_specs=[xspec(t_in), aff_spec, aff_spec],
         out_specs=xspec(t_out),
         out_shape=jax.ShapeDtypeStruct((hw, t_out, n_pad, c), dtype),
+        compiler_params=cparams,
         interpret=interpret,
     )
 
@@ -228,7 +260,8 @@ def _build_calls(
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((t_out, blk, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((t_out, hb, blk, c), jnp.float32)],
+        compiler_params=cparams,
         interpret=interpret,
     )
     return fwd, bwd
