@@ -52,12 +52,31 @@ class SpikingDenoiser(nn.Module):
         # repeats equal stats over N) at 1/T of the first block's conv work
         x_seq = direct_encode(x, 1)  # (1, N, h, w, 2)
 
-        fused_bnlif = self.backend == "bnlif"
+        fused_bnlif = self.backend in ("bnlif", "bnlifconv")
+        # 'bnlifconv': also run every 3x3 conv through the Pallas
+        # masked-shift TRAINING kernel (ops/spike_conv), which emits the
+        # per-channel BN moments in-kernel — BatchNorm then never re-reads
+        # the conv output from HBM (moments=).
+        fused_conv = self.backend == "bnlifconv"
         feats = []
         h = x_seq
         for i, ch in enumerate(c.denoiser_channels):
-            h = SeqConv(ch, kernel_size=3, strides=1, padding=1,
-                        dtype=self.dtype)(h)
+            moments = None
+            if fused_conv:
+                # moments only matter in training (eval BN reads running
+                # stats), so eval skips the in-kernel accumulation
+                h, s1, s2 = SeqConv(ch, kernel_size=3, strides=1,
+                                    padding=1, dtype=self.dtype,
+                                    fused_train=True)(h, with_moments=train)
+                if train:
+                    # stats count: elements per channel of THIS stack
+                    # (block 0 runs on a length-1 time axis; repeats don't
+                    # change mean/var, so the length-1 moments are the
+                    # T-broadcast statistics exactly)
+                    moments = (s1, s2, h.size // h.shape[-1])
+            else:
+                h = SeqConv(ch, kernel_size=3, strides=1, padding=1,
+                            dtype=self.dtype)(h)
             if fused_bnlif:
                 # fused BN-apply+LIF Pallas kernel (ops/bn_lif.py): the
                 # stats (and running updates) stay in SeqBatchNorm; the
@@ -68,7 +87,7 @@ class SpikingDenoiser(nn.Module):
                 sc, sh = SeqBatchNorm(
                     use_running_average=not train, dtype=self.dtype,
                     axis_name=self.bn_axis_name,
-                )(h, return_affine=True)
+                )(h, return_affine=True, moments=moments)
                 h = bn_lif(h, sc, sh, p,
                            t_out=c.num_steps if i == 0 else None)
                 self.sow("syops", "counters",
@@ -86,8 +105,13 @@ class SpikingDenoiser(nn.Module):
         # (``vq_diffusion.py:205``: torch.cat((x5, x1), dim=2) with dim 2 ==
         # channel axis of (T,N,C,H,W))
         h = jnp.concatenate([feats[-1], feats[0]], axis=-1)
-        h = SeqConv(c.num_embeddings, kernel_size=3, strides=1, padding=1,
-                    dtype=self.dtype)(h)
+        if fused_conv:
+            h, _, _ = SeqConv(c.num_embeddings, kernel_size=3, strides=1,
+                              padding=1, dtype=self.dtype,
+                              fused_train=True)(h, with_moments=False)
+        else:
+            h = SeqConv(c.num_embeddings, kernel_size=3, strides=1,
+                        padding=1, dtype=self.dtype)(h)
 
         # firing-rate decode over T (``vq_diffusion.py:206``); logits fp32
         return (jnp.sum(h, axis=0) / c.num_steps).astype(jnp.float32)

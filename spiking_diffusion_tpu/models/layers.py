@@ -39,11 +39,46 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv``: declares the identical
+    ``kernel``/``bias`` variables (same shapes, inits, fp32 param dtype)
+    without computing anything. Named ``Conv_0`` inside SeqConv so the
+    checkpoint tree is byte-identical whether the conv runs through XLA
+    (`nn.Conv`) or the Pallas training kernel (``ops/spike_conv``)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    in_ch: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", torch_kernel_init,
+            self.kernel + (self.in_ch, self.features), jnp.float32,
+        )
+        b = None
+        if self.use_bias:
+            fan_in = self.in_ch * self.kernel[0] * self.kernel[1]
+            b = self.param(
+                "bias", torch_bias_init(fan_in), (self.features,),
+                jnp.float32,
+            )
+        return k, b
+
+
 class SeqConv(nn.Module):
     """Conv2d over a (T, N, H, W, C) sequence, time folded into batch.
 
     ``padding`` is torch-style symmetric int padding (explicit, so spatial
     alignment matches the reference exactly rather than XLA-'SAME').
+
+    ``fused_train=True`` (3x3 / stride 1 / pad 1 only) computes the conv
+    with the Pallas masked-shift training kernel (``ops/spike_conv``) and
+    returns ``(y_seq, s1, s2)`` — the per-channel BN moments accumulated
+    in-kernel, to feed ``SeqBatchNorm(moments=...)``. Parameters live
+    under the same ``Conv_0`` scope either way (checkpoints
+    interchangeable; asserted in tests/test_denoiser_fusedconv.py).
     """
 
     features: int
@@ -52,13 +87,33 @@ class SeqConv(nn.Module):
     padding: Union[int, Tuple[int, int]] = 0
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    fused_train: bool = False
 
     @nn.compact
-    def __call__(self, x_seq: jax.Array) -> jax.Array:
+    def __call__(self, x_seq: jax.Array, with_moments: bool = True):
         k = _pair(self.kernel_size)
         p = _pair(self.padding)
         in_ch = x_seq.shape[-1]
         fan_in = in_ch * k[0] * k[1]
+        if self.fused_train:
+            if k != (3, 3) or _pair(self.strides) != (1, 1) or p != (1, 1):
+                raise ValueError(
+                    "fused_train supports 3x3 / stride 1 / pad 1 only"
+                )
+            from spiking_diffusion_tpu.ops.spike_conv import spike_conv3x3
+
+            kernel, bias = _ConvParams(
+                self.features, k, in_ch, self.use_bias, name="Conv_0"
+            )()
+            x = x_seq if self.dtype is None else x_seq.astype(self.dtype)
+            y_seq, s1, s2 = spike_conv3x3(
+                x, kernel, bias, with_moments=with_moments
+            )
+            ops = float(y_seq.size) * k[0] * k[1] * in_ch + (
+                float(y_seq.size) if self.use_bias else 0.0
+            )
+            self.sow("syops", "counters", _syops.classify(ops, x_seq))
+            return y_seq, s1, s2
         conv = nn.Conv(
             features=self.features,
             kernel_size=k,
@@ -152,7 +207,7 @@ class BatchNorm(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, return_affine: bool = False):
+    def __call__(self, x, return_affine: bool = False, moments=None):
         feat = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (feat,),
                            jnp.float32)
@@ -165,10 +220,18 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axes)
-            msq = jnp.mean(xf * xf, axes)
+            if moments is not None:
+                # pre-accumulated per-channel (sum, sum-of-squares, count)
+                # — from a producer kernel (ops/spike_conv) that already
+                # reduced its output in VMEM, so BN never re-reads x.
+                s1, s2, count = moments
+                mean = s1.astype(jnp.float32) / count
+                msq = s2.astype(jnp.float32) / count
+            else:
+                xf = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axes)
+                msq = jnp.mean(xf * xf, axes)
             # during init the module runs outside shard_map (no bound
             # mesh axis) — local stats only, same as flax BatchNorm
             if self.axis_name is not None and not self.is_initializing():
@@ -225,6 +288,7 @@ class SeqBatchNorm(nn.Module):
         x_seq: jax.Array,
         use_running_average: Optional[bool] = None,
         return_affine: bool = False,
+        moments=None,
     ):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
@@ -241,6 +305,11 @@ class SeqBatchNorm(nn.Module):
             "syops", "counters", _syops.classify(2.0 * x_seq.size, x_seq)
         )
         if return_affine:
+            if moments is not None:
+                # stats come pre-reduced (fused-conv moments); x_seq is
+                # only consulted for the channel count
+                return bn(x_seq[0, :1], return_affine=True,
+                          moments=moments)
             t = x_seq.shape[0]
             flat = x_seq.reshape((t * x_seq.shape[1],) + x_seq.shape[2:])
             return bn(flat, return_affine=True)
