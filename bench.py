@@ -56,6 +56,8 @@ def _reference_img_per_sec() -> float:
 
 
 _PEAK_FLOPS = 197e12  # v5e bf16 peak (fp32 runs below this; conservative)
+if os.environ.get("BENCH_DTYPE") == "int8":
+    _PEAK_FLOPS = 394e12  # v5e int8 MXU peak — MFU stays hardware-honest
 _PEAK_HBM = 819e9  # v5e HBM bytes/sec
 
 # per-chip generation batch. Measured with the fused megakernel sampler:
@@ -64,9 +66,14 @@ _PEAK_HBM = 819e9  # v5e HBM bytes/sec
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 N_ITERS = 4
 # bf16 activations/spikes; membranes stay fp32 in-kernel (CLAUDE.md rule).
+# BENCH_DTYPE=int8 quantizes the MEGAKERNEL weights to symmetric
+# per-channel int8 (spikes are {0,1}, so activation-side exact; ~2x MXU
+# peak on v5e) — the VQ decode modules stay bf16.
 import jax.numpy as _jnp
 
-DTYPE = _jnp.bfloat16
+DTYPE = {
+    "bf16": _jnp.bfloat16, "fp32": _jnp.float32, "int8": _jnp.int8,
+}[os.environ.get("BENCH_DTYPE", "bf16")]
 
 
 # The sampler's denoiser runs as the whole-network fused Pallas megakernel
@@ -92,12 +99,16 @@ def build(dtype=DTYPE, batch=None):
     vq_cfg = VQVAEConfig()  # T=16, K=128, D=16
     d_cfg = DiffusionConfig()  # 49 steps, mask_id=128
 
+    # int8 applies to the fused megakernel only; flax module paths (VQ
+    # decode, layerwise denoiser fallback) keep bf16 activations
+    mdtype = jnp.bfloat16 if jnp.dtype(dtype) == jnp.int8 else dtype
+
     key = jax.random.PRNGKey(0)
-    model = SNNVQVAE(vq_cfg, backend="auto", dtype=dtype)
+    model = SNNVQVAE(vq_cfg, backend="auto", dtype=mdtype)
     img = jnp.zeros((2, 28, 28, 1), jnp.float32)
     m_vars = jax.jit(lambda k, x: model.init(k, x, train=True))(key, img)
 
-    denoiser = SpikingDenoiser(d_cfg, backend="auto", dtype=dtype)
+    denoiser = SpikingDenoiser(d_cfg, backend="auto", dtype=mdtype)
     x0 = jnp.zeros((2, 7, 7), jnp.int32)
     t0 = jnp.ones((2,), jnp.int32)
     d_vars = jax.jit(

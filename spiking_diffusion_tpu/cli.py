@@ -134,6 +134,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    choices=["auto", "on", "off"],
                    help="whole-denoiser Pallas megakernel for generation "
                         "(auto: on TPU only)")
+    p.add_argument("--sampler_dtype", default="auto",
+                   choices=["auto", "fp32", "bf16", "int8"],
+                   help="megakernel compute dtype for the eval sweep "
+                        "(auto: follow --bf16; int8: per-channel weight "
+                        "quantization, spikes exact — ~1.4x generation)")
     p.add_argument("--frozen_metrics", default="auto",
                    choices=["auto", "on", "off"],
                    help="score FID/IS/KID in the COMMITTED frozen LeNet "
@@ -416,11 +421,16 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
     from spiking_diffusion_tpu.ops.fused_denoiser import make_denoise_fn
 
     fused = getattr(args, "fused_sampler", "auto")
+    sd = getattr(args, "sampler_dtype", "auto")
+    sampler_dtype = {
+        "auto": jnp.bfloat16 if args.bf16 else jnp.float32,
+        "fp32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8,
+    }[sd]
     denoise = make_denoise_fn(
         {"params": dstate.params, "batch_stats": dstate.batch_stats},
         d_cfg, dstate.apply_fn,
         fused=True if fused == "on" else (False if fused == "off" else "auto"),
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        dtype=sampler_dtype,
     )
 
     @jax.jit

@@ -162,6 +162,35 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
     """
     r = x.shape[0]
     cout = w_ref.shape[-1]
+    quant = jnp.dtype(x.dtype) == jnp.int8
+    if quant:
+        # int8 mode: spikes are EXACTLY {0, 1}, so int8 spike x int8
+        # weight with int32 accumulation is exact on the activation side
+        # — the only quantization error is the per-output-channel weight
+        # rounding (scale = max|w|/127). b_ref arrives packed (2, Cout):
+        # row 0 = fp32 bias, row 1 = dequant scale. The v5e MXU runs
+        # int8 at ~2x bf16 throughput.
+        if _CONV_MODE != "xyrow":
+            raise NotImplementedError("int8 conv: 'xyrow' mode only")
+        xmask_m, xmask_p, ymask_m, ymask_p = masks
+        zero = jnp.zeros_like(x)
+        u_m = jnp.where(xmask_m, _row_roll(x, -1), zero)
+        u_p = jnp.where(xmask_p, _row_roll(x, 1), zero)
+        big = jnp.concatenate([u_m, x, u_p], axis=-1)
+        v = [
+            jax.lax.dot_general(
+                big, w_ref[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            for dy in range(3)
+        ]
+        out = v[1]
+        zi = jnp.zeros_like(out)
+        out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zi)
+        out = out + jnp.where(ymask_p, _row_roll(v[2], hw), zi)
+        bias = b_ref[0:1].astype(jnp.float32)
+        scale = b_ref[1:2].astype(jnp.float32)
+        return out.astype(jnp.float32) * scale + bias
     bias = jnp.broadcast_to(b_ref[...].astype(jnp.float32), (r, cout))
     if _CONV_MODE in ("xy", "xyrow"):
         xmask_m, xmask_p, ymask_m, ymask_p = masks
@@ -319,6 +348,7 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
     """
     blocks = folded_conv_params(variables, n_blocks + 1)
     k1, b1 = blocks[0]
+    quant = jnp.dtype(dtype) == jnp.int8
 
     def shape_w(k):
         # 'xyrow' consumes per-kernel-row weights (3, 3*Cin, Cout) —
@@ -326,22 +356,38 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
         # as the kernel's concat([u[-1], u[0], u[1]]) expects
         w = jnp.asarray(k, jnp.float32)
         if (conv_mode or _CONV_MODE) == "xyrow":
-            return w.reshape(3, 3 * k.shape[2], k.shape[3]).astype(dtype)
-        return w.reshape(9, k.shape[2], k.shape[3]).astype(dtype)
+            w = w.reshape(3, 3 * k.shape[2], k.shape[3])
+        else:
+            w = w.reshape(9, k.shape[2], k.shape[3])
+        if not quant:
+            return w.astype(dtype), None
+        # symmetric per-output-channel int8: scale = max|w|/127, so the
+        # rounded values span the full int8 range and the relative
+        # rounding error is <= 0.5/127 of the channel max
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0, 1e-12)
+        wq = jnp.round(w / s).astype(jnp.int8)
+        return wq, s.reshape(1, -1)
+
+    def pack_b(b, s):
+        # int8 mode packs (bias, dequant-scale) as a (2, Cout) operand so
+        # the kernel's (W, b) arg pairing is dtype-agnostic
+        b = jnp.asarray(b, jnp.float32).reshape(1, -1)
+        return jnp.concatenate([b, s], axis=0) if s is not None else b
 
     ws, bs = [], []
     for k, b in blocks[1:-1]:
-        ws.append(shape_w(k))
-        bs.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
+        w, s = shape_w(k)
+        ws.append(w)
+        bs.append(pack_b(b, s))
     kf, bf = blocks[-1]
-    kf = shape_w(kf)
+    kf, sf = shape_w(kf)
     return (
         jnp.asarray(k1, jnp.float32),
         jnp.asarray(b1, jnp.float32),
         ws,
         bs,
         kf,
-        jnp.asarray(bf, jnp.float32).reshape(1, -1),
+        pack_b(bf, sf),
     )
 
 
@@ -536,7 +582,24 @@ def mirror_denoise_fn(
     )
     p = cfg.lif.to_params()
 
+    quant = jnp.dtype(dtype) == jnp.int8
+
     def conv(x, w, b, masks):
+        if quant:
+            # exact int32 tap accumulation then one dequant — integer
+            # adds are associative, so this matches the kernel's xyrow
+            # int8 path bit-for-bit regardless of summation order
+            acc = None
+            for k in range(9):
+                dy, dx = k // 3 - 1, k % 3 - 1
+                xs = _row_roll(x, dy * hw + dx)
+                xm = jnp.where(masks[k], xs, jnp.zeros_like(xs))
+                d = jax.lax.dot_general(
+                    xm, w[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = d if acc is None else acc + d
+            return acc.astype(jnp.float32) * b[1:2] + b[0:1]
         racc = jnp.broadcast_to(
             b.astype(jnp.float32), (x.shape[0], w.shape[2])
         )

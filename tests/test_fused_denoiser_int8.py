@@ -1,0 +1,75 @@
+"""int8 megakernel mode parity.
+
+Spikes are exactly {0, 1}, so int8 spike x int8 weight with int32
+accumulation is exact on the activation side; the only approximation is
+the symmetric per-output-channel weight rounding (scale = max|w|/127).
+Oracle chain:
+  1. Pallas int8 kernel (interpret on CPU) vs the jnp int8 mirror — the
+     integer tap sums are associative-exact, so this is TIGHT;
+  2. int8 mirror vs fp32 mirror — quantization tolerance (loose) plus an
+     argmax-agreement check (what the categorical sampler consumes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spiking_diffusion_tpu.config import DiffusionConfig
+from spiking_diffusion_tpu.ops import fused_denoiser
+
+from tests.test_fused_denoiser import CFG, _batch, _trained_variables
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = fused_denoiser._INTERPRET
+    fused_denoiser._INTERPRET = True
+    yield
+    fused_denoiser._INTERPRET = old
+
+
+def test_int8_kernel_matches_int8_mirror():
+    _, variables = _trained_variables()
+    x, t = _batch(n=8)
+    mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                              dtype=jnp.int8)
+    fused = fused_denoiser.make_fused_denoise_fn(
+        variables, CFG, dtype=jnp.int8, block_n=4
+    )
+    ref = np.asarray(jax.jit(mirror)(x, t))
+    out = np.asarray(jax.jit(fused)(x, t))
+    assert out.shape == ref.shape == (8, 7, 7, 10)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_int8_kernel_batch_padding():
+    _, variables = _trained_variables(seed=3)
+    x, t = _batch(n=6, seed=7)
+    mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                              dtype=jnp.int8)
+    fused = fused_denoiser.make_fused_denoise_fn(
+        variables, CFG, dtype=jnp.int8, block_n=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(fused)(x, t)), np.asarray(jax.jit(mirror)(x, t)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_int8_mirror_tracks_fp32_mirror():
+    _, variables = _trained_variables(seed=5)
+    x, t = _batch(n=8, seed=11)
+    m32 = fused_denoiser.mirror_denoise_fn(variables, CFG)
+    m8 = fused_denoiser.mirror_denoise_fn(variables, CFG, dtype=jnp.int8)
+    y32 = np.asarray(jax.jit(m32)(x, t))
+    y8 = np.asarray(jax.jit(m8)(x, t))
+    # weight-rounding tolerance: logits within a small absolute band of
+    # the fp32 path (spike trains can themselves flip near threshold, so
+    # this is distributional, not elementwise-tight)
+    scale = np.abs(y32).max()
+    close = np.mean(np.abs(y8 - y32) <= 0.1 * scale + 0.05)
+    assert close > 0.95, f"only {close:.3f} of logits within band"
+    # argmax agreement — what greedy decoding would consume
+    agree = np.mean(y8.argmax(-1) == y32.argmax(-1))
+    assert agree > 0.9, f"argmax agreement {agree:.3f}"
