@@ -170,20 +170,37 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
         # rounding (scale = max|w|/127). b_ref arrives packed (2, Cout):
         # row 0 = fp32 bias, row 1 = dequant scale. The v5e MXU runs
         # int8 at ~2x bf16 throughput.
-        if _CONV_MODE != "xyrow":
-            raise NotImplementedError("int8 conv: 'xyrow' mode only")
+        if _CONV_MODE not in ("xyrow", "xy"):
+            raise NotImplementedError("int8 conv: 'xyrow'/'xy' modes only")
         xmask_m, xmask_p, ymask_m, ymask_p = masks
         zero = jnp.zeros_like(x)
         u_m = jnp.where(xmask_m, _row_roll(x, -1), zero)
         u_p = jnp.where(xmask_p, _row_roll(x, 1), zero)
-        big = jnp.concatenate([u_m, x, u_p], axis=-1)
-        v = [
-            jax.lax.dot_general(
-                big, w_ref[dy], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            for dy in range(3)
-        ]
+        if _CONV_MODE == "xyrow":
+            big = jnp.concatenate([u_m, x, u_p], axis=-1)
+            v = [
+                jax.lax.dot_general(
+                    big, w_ref[dy], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                for dy in range(3)
+            ]
+        else:
+            # 'xy': 9 narrow int8 matmuls, no (R, 3Cin) concat copy —
+            # candidate when the kernel is VPU-bound (int8 halves MXU
+            # time; the concat materialization is pure VPU). int32 tap
+            # sums are associative, so numerics are identical to xyrow.
+            u = (u_m, x, u_p)
+            v = []
+            for dy in range(3):
+                acc = None
+                for dx in range(3):
+                    d = jax.lax.dot_general(
+                        u[dx], w_ref[dy * 3 + dx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = d if acc is None else acc + d
+                v.append(acc)
         out = v[1]
         zi = jnp.zeros_like(out)
         out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zi)

@@ -57,6 +57,28 @@ def test_int8_kernel_batch_padding():
     )
 
 
+def test_int8_xy_mode_matches_mirror():
+    """'xy' int8 variant (9 narrow matmuls, no concat copy): int32 tap
+    sums are associative, so it must equal the taps-mode mirror exactly."""
+    _, variables = _trained_variables(seed=2)
+    x, t = _batch(n=8, seed=9)
+    old = fused_denoiser._CONV_MODE
+    fused_denoiser._CONV_MODE = "xy"
+    try:
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                                  dtype=jnp.int8)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.int8, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._CONV_MODE = old
+
+
 def test_int8_mirror_tracks_fp32_mirror():
     _, variables = _trained_variables(seed=5)
     x, t = _batch(n=8, seed=11)
