@@ -52,18 +52,25 @@ def main():
     t = jax.random.randint(kt, (BATCH,), 1, cfg.num_timesteps + 1, jnp.int32)
 
     ref = None
-    for mode, block_n, dtype in [
-        ("xyrow", 16, jnp.bfloat16),   # round-3 bf16 baseline
-        ("xyrow", 8, jnp.int8),
-        ("xyrow", 16, jnp.int8),
-        ("xyrow", 24, jnp.int8),
-        ("xyrow", 32, jnp.int8),
-        ("xy", 16, jnp.int8),
-        ("xy", 32, jnp.int8),
+    for mode, block_n, dtype, inter in [
+        ("xyrow", 16, jnp.bfloat16, 1),   # round-3 bf16 baseline
+        ("xyrow", 8, jnp.int8, 1),
+        ("xyrow", 16, jnp.int8, 1),
+        ("xyrow", 24, jnp.int8, 1),
+        ("xyrow", 32, jnp.int8, 1),
+        ("xy", 16, jnp.int8, 1),
+        ("xy", 32, jnp.int8, 1),
+        # sub-tile interleave: negative in bf16 (MXU-bound), retest at
+        # int8 where MXU time halved and VPU/MXU overlap matters more
+        ("xyrow", 16, jnp.int8, 2),
+        ("xy", 16, jnp.int8, 2),
     ]:
         old = fused_denoiser._CONV_MODE
+        old_il = fused_denoiser._INTERLEAVE
         fused_denoiser._CONV_MODE = mode
-        name = f"{mode}/{block_n}/{np.dtype(dtype).name}"
+        fused_denoiser._INTERLEAVE = inter
+        name = f"{mode}/{block_n}/{np.dtype(dtype).name}" + (
+            f"/il{inter}" if inter > 1 else "")
         try:
             fd = jax.jit(fused_denoiser.make_fused_denoise_fn(
                 variables, cfg, dtype=dtype, block_n=block_n
@@ -72,10 +79,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:22s}: FAILED {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
-            fused_denoiser._CONV_MODE = old
             continue
         finally:
             fused_denoiser._CONV_MODE = old
+            fused_denoiser._INTERLEAVE = old_il
         if ref is None:
             ref = out
         agree = np.isclose(out, ref, atol=0.05, rtol=0.05).mean()
