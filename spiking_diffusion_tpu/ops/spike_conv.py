@@ -71,6 +71,10 @@ _INTERPRET = False  # flipped by tests on CPU
 # batch rows per grid step (both kernels); env knob for on-hardware A/B
 _BLK = int(_os.environ.get("SD_SPIKECONV_BLK", "8"))
 
+# VMEM budget for the _tiling estimate (tests shrink it to force the
+# T-chunked 2-D grid on tiny CPU shapes)
+_VMEM_BUDGET = 80 * 1024 * 1024
+
 
 def _roll(x: jax.Array, s: int) -> jax.Array:
     """Left-rotate the leading (hw) axis by s: out[p] = x[p+s]."""
@@ -243,7 +247,7 @@ def _tiling(
     is 2x the fwd's operand; measured OOM: 512->256 @ blk 8, t 16 wants
     106 MB vs the 100 MB scoped-vmem limit)."""
     blk = n_pad if n_pad < _BLK else _BLK
-    budget = 80 * 1024 * 1024
+    budget = _VMEM_BUDGET
 
     def est(tc: int) -> int:
         rows = hw2 * tc * blk

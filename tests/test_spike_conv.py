@@ -124,6 +124,46 @@ def test_grads_without_moment_use():
         )
 
 
+def test_tchunk_grid_parity():
+    """Force the T-chunked 2-D grid (the big-channel TPU path): moments
+    and dW/db accumulate across BOTH grid axes."""
+    old = spike_conv._VMEM_BUDGET
+    spike_conv._VMEM_BUDGET = 200 * 1024  # tiny: forces tchunk < t
+    try:
+        # t=4 divides into chunks; distinct shape so the lru_cached
+        # pallas_call builds fresh under this budget
+        x, kernel, bias = _data(jax.random.PRNGKey(6), t=4, n=5, hw=5,
+                                cin=7, cout=9)
+        blk, tchunk = spike_conv._tiling(8, 25, 4, 7, 9, 4)
+        assert tchunk < 4, "budget did not force T-chunking"
+        tgt = jax.random.normal(jax.random.PRNGKey(8), (9,), jnp.float32)
+
+        def loss(f):
+            def g(x, kernel, bias):
+                y, s1, s2 = f(x, kernel, bias)
+                return (jnp.sum(y * y) + jnp.sum(s1 * tgt)
+                        + 0.1 * jnp.sum(s2))
+            return g
+
+        y, s1, s2 = jax.jit(spike_conv.spike_conv3x3)(x, kernel, bias)
+        yr, s1r, s2r = jax.jit(_oracle)(x, kernel, bias)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r),
+                                   rtol=1e-4, atol=1e-3)
+        gf = jax.jit(jax.grad(loss(spike_conv.spike_conv3x3),
+                              argnums=(0, 1, 2)))(x, kernel, bias)
+        gr = jax.jit(jax.grad(loss(_oracle),
+                              argnums=(0, 1, 2)))(x, kernel, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        spike_conv._VMEM_BUDGET = old
+
+
 def test_no_moments_flag():
     x, kernel, bias = _data(jax.random.PRNGKey(5))
     y, s1, s2 = jax.jit(
