@@ -32,7 +32,13 @@ models/denoiser.py).
 
 Numerics: matmuls run in the requested compute dtype (bf16 on TPU) with
 fp32 accumulation (``preferred_element_type``); membranes, biases and
-logits are fp32 (CLAUDE.md invariant). BatchNorm running statistics are
+logits are fp32 (CLAUDE.md invariant). ``dtype=jnp.int8`` (round 3)
+quantizes the folded conv weights to symmetric per-output-channel int8
+and runs the conv matmuls as int8 x int8 -> int32 — spikes are exactly
+{0, 1}, so the activation side is EXACT and only the weight rounding
+(<= 0.5/127 of the channel max) approximates; the v5e MXU runs int8 at
+~2x bf16 peak (measured end-to-end: 623 -> 861 img/s, batch-16 latency
+30.1 -> 23.2 ms). BatchNorm running statistics are
 folded into conv kernels with :func:`snn.functional.fuse_conv_bn` — eval
 BN is an affine per-channel map, so folding is exact up to one fp32
 rounding.
