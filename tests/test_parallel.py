@@ -177,3 +177,32 @@ def test_sample_codes_data_parallel_fused():
         assert not np.array_equal(arr[:2], arr[2:4])
     finally:
         fused_denoiser._INTERPRET = old
+
+
+def test_sample_codes_data_parallel_fused_int8():
+    """int8 megakernel under shard_map DP: the quantized sampler composes
+    with the per-device Pallas path (fused_dtype=jnp.int8)."""
+    from spiking_diffusion_tpu.config import DiffusionConfig
+    from spiking_diffusion_tpu.models import SpikingDenoiser
+    from spiking_diffusion_tpu.ops import fused_denoiser
+    from spiking_diffusion_tpu.train import create_train_state
+    from spiking_diffusion_tpu.train.stage2 import sample_codes
+
+    old = fused_denoiser._INTERPRET
+    fused_denoiser._INTERPRET = True
+    try:
+        dcfg = DiffusionConfig(num_timesteps=4, num_embeddings=8, mask_id=8,
+                               num_steps=2, denoiser_channels=(4, 4, 4, 4, 4))
+        den = SpikingDenoiser(dcfg, backend="scan")
+        x0 = jnp.zeros((2, 7, 7), jnp.int32)
+        t0 = jnp.ones((2,), jnp.int32)
+        variables = den.init(jax.random.PRNGKey(0), x0, t0, train=True)
+        state = create_train_state(den, variables)
+        codes = sample_codes(state, dcfg, jax.random.PRNGKey(1),
+                             n_samples=16, temperature=0.8, data_parallel=8,
+                             fused=True, fused_dtype=jnp.int8)
+        arr = np.asarray(codes)
+        assert arr.shape == (16, 7, 7)
+        assert (arr == dcfg.mask_id).sum() == 0
+    finally:
+        fused_denoiser._INTERPRET = old
