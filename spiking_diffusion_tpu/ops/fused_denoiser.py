@@ -142,6 +142,11 @@ _UNROLL_FACTOR = int(_os.environ.get("SD_FUSED_UNROLL", "1"))
 # = 6.1 MXU tiles vs 3.1, fewer grid iterations), 24 -> 337.0 (VMEM
 # pressure kills it), 32 -> Mosaic compile failure. 16 is the default.
 _BLOCK_N = int(_os.environ.get("SD_FUSED_BLOCK_N", "16"))
+# int8 weight-quantization clip percentile (None = per-channel max)
+_INT8_CLIP_PCT = (
+    float(_os.environ["SD_INT8_CLIP_PCT"])
+    if _os.environ.get("SD_INT8_CLIP_PCT") else None
+)
 _INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
 # half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU
 # overlap gains); kept as an experiment knob
@@ -386,9 +391,19 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
             return w.astype(dtype), None
         # symmetric per-output-channel int8: scale = max|w|/127, so the
         # rounded values span the full int8 range and the relative
-        # rounding error is <= 0.5/127 of the channel max
-        s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1)) / 127.0, 1e-12)
-        wq = jnp.round(w / s).astype(jnp.int8)
+        # rounding error is <= 0.5/127 of the channel max.
+        # SD_INT8_CLIP_PCT (e.g. 99.9) switches to percentile scaling
+        # with saturation — finer resolution for the weight bulk at the
+        # cost of clipping outliers; the mirror shares this path, so
+        # parity tests hold under either quantizer.
+        aw = jnp.abs(w)
+        if _INT8_CLIP_PCT is not None:
+            amax = jnp.percentile(aw.reshape(-1, w.shape[-1]),
+                                  _INT8_CLIP_PCT, axis=0)
+        else:
+            amax = jnp.max(aw, axis=(0, 1))
+        s = jnp.maximum(amax / 127.0, 1e-12)
+        wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
         return wq, s.reshape(1, -1)
 
     def pack_b(b, s):

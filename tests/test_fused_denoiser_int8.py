@@ -79,6 +79,28 @@ def test_int8_xy_mode_matches_mirror():
         fused_denoiser._CONV_MODE = old
 
 
+def test_int8_clip_quantizer_parity():
+    """Percentile-clipped quantizer (SD_INT8_CLIP_PCT): kernel and mirror
+    share the quantization path, so exact parity must hold under it."""
+    _, variables = _trained_variables(seed=4)
+    x, t = _batch(n=8, seed=13)
+    old = fused_denoiser._INT8_CLIP_PCT
+    fused_denoiser._INT8_CLIP_PCT = 99.0
+    try:
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                                  dtype=jnp.int8)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.int8, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._INT8_CLIP_PCT = old
+
+
 def test_int8_mirror_tracks_fp32_mirror():
     _, variables = _trained_variables(seed=5)
     x, t = _batch(n=8, seed=11)
