@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-3 int8 follow-up TPU batch (run SERIALLY, one TPU client at a time):
+#   1. int8 conv-mode/block ladder (forward-only A/B)
+#   2. frozen-space quality A/B: int8 vs bf16 megakernel sampling on the
+#      flagship MNIST checkpoint (same seed -> paired draws)
+#   3. bench.py int8 confirm
+set -u
+cd /root/repo
+
+echo "=== 1. int8 ladder ==="
+timeout 2400 python -u scripts/bench_int8_ladder.py 2>/dev/null \
+  | tee /tmp/r3_int8_ladder.txt
+
+EVAL_COMMON="--dataset_name MNIST --model snn-vq-vae \
+  --checkpoint ./result_r3/MNIST/snn-vq-vae --bf16 --batch_size 256 \
+  --synthetic_train 60000 --synthetic_test 10240 --ref_size 8192 \
+  --frozen_metrics on --temperatures 0.9,1.0"
+
+echo "=== 2a. quality A/B: int8 sampler ==="
+timeout 5400 python -u -m spiking_diffusion_tpu.cli $EVAL_COMMON \
+  --sampler_dtype int8 --sample_dir ./sample_r3_int8 \
+  > /tmp/r3_int8_eval.log 2>&1
+tail -6 /tmp/r3_int8_eval.log
+
+echo "=== 2b. quality A/B: bf16 sampler (same seed, paired) ==="
+timeout 5400 python -u -m spiking_diffusion_tpu.cli $EVAL_COMMON \
+  --sampler_dtype bf16 --sample_dir ./sample_r3_bf16ab \
+  > /tmp/r3_bf16ab_eval.log 2>&1
+tail -6 /tmp/r3_bf16ab_eval.log
+
+echo "=== 3. bench int8 confirm ==="
+BENCH_DTYPE=int8 timeout 1800 python bench.py 2>/dev/null | tail -1 \
+  | tee /tmp/r3_bench_int8.json
+
+echo "ALL INT8 FOLLOW-UP COMPLETE"
