@@ -386,8 +386,17 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
         stats = load_frozen_stats(args.dataset_name)
         if stats is not None and stats["data_sha"] == data_hash(real):
             mu = np.mean(real_feats, axis=0)
-            assert np.allclose(mu, stats["mu"], rtol=1e-4, atol=1e-4), \
-                "frozen stats drifted — feature space not reproducible"
+            sigma = np.cov(real_feats, rowvar=False)
+            if not (
+                np.allclose(mu, stats["mu"], rtol=1e-4, atol=1e-4)
+                and np.allclose(
+                    sigma, stats["sigma"], rtol=1e-3, atol=1e-4
+                )
+            ):
+                raise RuntimeError(
+                    "frozen stats drifted (mu/sigma mismatch vs committed "
+                    "reference) — feature space not reproducible"
+                )
             space_info["stats_verified"] = True
             print("frozen reference stats verified (bit-reproducible)")
 

@@ -700,6 +700,16 @@ def make_denoise_fn(
             interpret=interpret,
         )
 
+    if jnp.dtype(dtype) != jnp.float32:
+        import warnings
+
+        warnings.warn(
+            f"sampler dtype {jnp.dtype(dtype).name} requires the fused "
+            "megakernel (TPU backend / fused on); the layerwise fallback "
+            "runs fp32 — the dtype flag has no effect here.",
+            stacklevel=2,
+        )
+
     def denoise(x_tokens, t):
         return apply_fn(variables, x_tokens, t, train=False)
 

@@ -11,11 +11,19 @@ from __future__ import annotations
 import os
 
 
+def _default_cache_dir() -> str:
+    """Repo-local cache (survives across driver sessions; /tmp does not)."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, ".jax_cache")
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     cache_dir = path or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache"
+        "JAX_COMPILATION_CACHE_DIR", _default_cache_dir()
     )
     try:
         # scope by platform: XLA:CPU AOT artifacts are machine-feature
