@@ -1,13 +1,20 @@
 """Example: event-stream (DVS-style) classification.
 
-The analogue of spikingjelly's DVS128-Gesture / N-MNIST examples, but
-self-contained: synthetic event streams (no dataset downloads exist in
-this environment) are integrated into frame tensors with the native C++
-integrator and classified by a spiking conv net. Each class is a moving
-bright dot with a class-specific direction; the temporal structure is the
-signal, so rate-only models do poorly and the SNN's time axis matters.
+The analogue of spikingjelly's DVS128-Gesture / N-MNIST examples. Two
+data paths:
+
+* default: self-contained synthetic event streams (a moving bright dot
+  per class; the temporal structure is the signal) integrated with the
+  native C++ integrator — fast, no files.
+* ``--dataset nmnist --root <dir>``: the real on-disk pipeline
+  (``data/neuromorphic.py``) — an ``events_np/{train,test}/<class>/*.npz``
+  tree (built from downloaded archives via ``NMNIST.create_events_np_files``,
+  or synthesized here since this environment cannot download), integrated
+  to frames with the reference's fixed-frames-number semantics and cached
+  under ``root/frames_number_{T}_split_by_number/``.
 
     python examples/dvs_classify.py [--epochs 5]
+    python examples/dvs_classify.py --dataset nmnist --root /tmp/nmnist
 """
 
 import os
@@ -62,15 +69,49 @@ def make_dataset(n_per_class, seed):
             np.asarray(labels, np.int32)[order])
 
 
+def load_folder_dataset(name, root, t_frames):
+    """The real file-layout path: events_np tree -> cached frames."""
+    from spiking_diffusion_tpu.data import neuromorphic as nm
+
+    cls = {"nmnist": nm.NMNIST, "dvs128": nm.DVS128Gesture}[name]
+    if not os.path.isdir(os.path.join(root, "events_np")):
+        print(f"no events_np under {root}; synthesizing a tree "
+              "(real runs: put the extracted archives there and call "
+              f"{cls.__name__}.create_events_np_files)")
+        cls.synthesize(root, per_class=24 if name == "nmnist" else 8)
+    kw = dict(data_type="frame", frames_number=t_frames,
+              split_by="number")
+    train = cls(root, train=True, **kw)
+    test = cls(root, train=False, **kw)
+    x_tr, y_tr = train.as_arrays()
+    x_te, y_te = test.as_arrays()
+    # count frames -> {0,1} spike-like input, as the spikingjelly
+    # examples do via their frame transforms
+    return (np.clip(x_tr, 0, 1), y_tr.astype(np.int32),
+            np.clip(x_te, 0, 1), y_te.astype(np.int32),
+            len(train.classes))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--n_per_class", type=int, default=128)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "nmnist", "dvs128"])
+    p.add_argument("--root", default="/tmp/neuromorphic_root",
+                   help="dataset root holding events_np/ (nmnist/dvs128)")
     args = p.parse_args()
 
-    x_train, y_train = make_dataset(args.n_per_class, seed=0)
-    x_test, y_test = make_dataset(32, seed=1)
-    print(f"train {x_train.shape} (T,H,W,2 frames per sample)")
+    global CLASSES
+    if args.dataset == "synthetic":
+        x_train, y_train = make_dataset(args.n_per_class, seed=0)
+        x_test, y_test = make_dataset(32, seed=1)
+    else:
+        x_train, y_train, x_test, y_test, CLASSES = load_folder_dataset(
+            args.dataset, os.path.join(args.root, args.dataset), T_FRAMES
+        )
+    print(f"train {x_train.shape} (T,H,W,2 frames per sample), "
+          f"{CLASSES} classes")
 
     # frames are (N, T, H, W, 2); the model wants (T, N, H, W, C)
     model = zoo.SpikingVGG(cfg=(16, "M", 32, "M"), num_classes=CLASSES,

@@ -27,6 +27,17 @@ from spiking_diffusion_tpu.data.extra_datasets import (
     load_notmnist,
     mnist_square,
 )
+from spiking_diffusion_tpu.data.neuromorphic import (
+    CIFAR10DVS,
+    DVS128Gesture,
+    EventDatasetFolder,
+    NMNIST,
+    integrate_by_fixed_duration,
+    integrate_by_fixed_frames,
+    load_aedat_v3,
+    load_atis_bin,
+    load_jaer_dat,
+)
 
 __all__ = [
     "Dataset",
@@ -39,4 +50,13 @@ __all__ = [
     "load_mnist_c",
     "load_notmnist",
     "mnist_square",
+    "CIFAR10DVS",
+    "DVS128Gesture",
+    "EventDatasetFolder",
+    "NMNIST",
+    "integrate_by_fixed_duration",
+    "integrate_by_fixed_frames",
+    "load_aedat_v3",
+    "load_atis_bin",
+    "load_jaer_dat",
 ]

@@ -1,0 +1,754 @@
+"""Neuromorphic dataset readers: event-file parsers + dataset folders.
+
+Rebuilds the reference's ``spikingjelly.zip!datasets/`` stack (file-format
+parsers, event->frame integration caching, per-dataset classes) without
+torch/torchvision:
+
+* ``load_aedat_v3`` — DAVIS/DVS128 aedat 3.1 (reference
+  ``datasets/__init__.py:73-135``). The reference decodes one event per
+  Python-loop iteration; this parser decodes each packet's whole payload
+  as a numpy view (~1000x fewer interpreter trips).
+* ``load_atis_bin`` — 40-bit ATIS events, N-MNIST/N-Caltech101
+  (``datasets/__init__.py:137-160``).
+* ``load_jaer_dat`` — jAER 2.0 big-endian (addr, t) pairs with
+  configurable bit masks, CIFAR10-DVS (``datasets/cifar10_dvs.py:17-107``).
+* ``fixed_frames_segment_indices`` / ``integrate_by_fixed_frames`` /
+  ``integrate_by_fixed_duration`` — the reference's two integration
+  semantics (``datasets/__init__.py:248-415``), vectorized with a single
+  scatter-add instead of per-frame bincount loops. Frames are NHWC
+  ``(T, H, W, 2)`` — the TPU conv layout; the reference's ``(T, 2, H, W)``
+  is ``frames.transpose(0, 3, 1, 2)``.
+* ``EventDatasetFolder`` — the ``NeuromorphicDatasetFolder`` equivalent
+  (``datasets/__init__.py:571-838``): walks ``root/events_np/{train,test}/
+  <class>/*.npz``, integrates + caches frames under
+  ``root/frames_number_{M}_split_by_{s}/`` on first use.
+* ``NMNIST`` / ``DVS128Gesture`` / ``CIFAR10DVS`` — per-dataset classes
+  with ``create_events_np_files`` converters from the manually-downloaded
+  archives' extracted layout, and ``synthesize`` fallbacks that write a
+  tiny structurally-identical tree (no dataset downloads exist in this
+  environment; the real-file code paths are exercised by packing real
+  binary formats in tests).
+
+Divergences from the reference (both strict improvements, documented):
+an empty time bin yields a zero frame (the reference indexes into an
+empty array and crashes); conversion is serial (this box has one core;
+the reference thread-pools over 8+).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Events = Dict[str, np.ndarray]
+
+__all__ = [
+    "load_aedat_v3",
+    "load_atis_bin",
+    "load_jaer_dat",
+    "fixed_frames_segment_indices",
+    "integrate_by_fixed_frames",
+    "integrate_by_fixed_duration",
+    "EventDatasetFolder",
+    "NMNIST",
+    "DVS128Gesture",
+    "CIFAR10DVS",
+    "padded_sequence_mask",
+    "pad_sequence_stack",
+    "split_to_train_test_set",
+]
+
+
+# ---------------------------------------------------------------------------
+# file-format parsers
+# ---------------------------------------------------------------------------
+
+_AEDAT3_HEADER = struct.Struct("<HHIIIIII")
+
+
+def load_aedat_v3(file_name: str) -> Events:
+    """aedat 3.1 -> ``{'t','x','y','p'}`` (DVS128 Gesture recordings).
+
+    Packet stream after the ascii header: 28-byte little-endian packet
+    header ``(type, source, size, offset, tsoverflow, capacity, number,
+    valid)`` followed by ``capacity * size`` payload bytes; polarity
+    packets (type 1) hold ``(aer_data: u32, timestamp: u32)`` records with
+    x/y/p bit-packed into ``aer_data``. Parity target:
+    ``datasets/__init__.py:73-135`` (same field extraction; payload decoded
+    vectorized per packet instead of per event).
+    """
+    ts, xs, ys, ps = [], [], [], []
+    with open(file_name, "rb") as f:
+        line = f.readline()
+        while line.startswith(b"#"):
+            if line == b"#!END-HEADER\r\n":
+                break
+            line = f.readline()
+        while True:
+            header = f.read(28)
+            if len(header) < 28:
+                break
+            (e_type, _src, e_size, _off, e_tsoverflow, e_capacity,
+             _num, _valid) = _AEDAT3_HEADER.unpack(header)
+            data = f.read(e_capacity * e_size)
+            if e_type != 1:  # non-polarity packet: skip payload
+                continue
+            rec = np.frombuffer(
+                data, dtype="<u4"
+            ).reshape(-1, e_size // 4)
+            aer = rec[:, 0]
+            ts.append(
+                rec[:, 1].astype(np.int64) | (int(e_tsoverflow) << 31)
+            )
+            xs.append((aer >> 17) & 0x7FFF)
+            ys.append((aer >> 2) & 0x7FFF)
+            ps.append((aer >> 1) & 1)
+    if not ts:
+        z = np.zeros((0,), np.int64)
+        return {"t": z, "x": z, "y": z, "p": z}
+    return {
+        "t": np.concatenate(ts),
+        "x": np.concatenate(xs).astype(np.int64),
+        "y": np.concatenate(ys).astype(np.int64),
+        "p": np.concatenate(ps).astype(np.int64),
+    }
+
+
+def load_atis_bin(file_name: str) -> Events:
+    """ATIS 40-bit binary -> ``{'t','x','y','p'}`` (N-MNIST samples).
+
+    Per event: byte0 = x, byte1 = y, byte2 bit7 = polarity, bits 22-0 of
+    bytes 2-4 = timestamp (us). Parity: ``datasets/__init__.py:137-160``.
+    """
+    raw = np.fromfile(file_name, dtype=np.uint8).astype(np.uint32)
+    raw = raw[: (raw.size // 5) * 5]
+    x = raw[0::5]
+    y = raw[1::5]
+    b2 = raw[2::5]
+    p = (b2 & 128) >> 7
+    t = ((b2 & 127) << 16) | (raw[3::5] << 8) | raw[4::5]
+    return {
+        "t": t.astype(np.int64),
+        "x": x.astype(np.int64),
+        "y": y.astype(np.int64),
+        "p": p.astype(np.int64),
+    }
+
+
+def load_jaer_dat(
+    file_name: str,
+    x_mask: int = 0x003FF000,
+    x_shift: int = 12,
+    y_mask: int = 0x7FC00000,
+    y_shift: int = 22,
+    polarity_mask: int = 0x800,
+    polarity_shift: Optional[int] = 11,
+) -> Events:
+    """jAER 2.0 ``.aedat``/``.dat`` -> ``{'t','x','y','p'}``.
+
+    '#'-prefixed ascii header, then big-endian ``(addr: u4, t: u4)``
+    pairs; address bit layout is camera-specific (defaults are the DVS128
+    layout; CIFAR10-DVS overrides via :class:`CIFAR10DVS`). Parity:
+    ``datasets/cifar10_dvs.py:17-107``.
+    """
+    with open(file_name, "rb") as f:
+        skip = 0
+        line = f.readline()
+        while line.startswith(b"#"):
+            skip += len(line)
+            line = f.readline()
+        f.seek(skip)
+        data = np.frombuffer(f.read(), dtype=">u4")
+    data = data[: (data.size // 2) * 2]
+    addr = data[0::2].astype(np.int64)
+    t = data[1::2].astype(np.int64)
+    x = (addr & x_mask) >> x_shift
+    y = (addr & y_mask) >> y_shift
+    p = addr & polarity_mask
+    if polarity_shift is not None:
+        p >>= polarity_shift
+    return {"t": t, "x": x, "y": y, "p": (p != 0).astype(np.int64)}
+
+
+# ---------------------------------------------------------------------------
+# reference-exact integration (vectorized)
+# ---------------------------------------------------------------------------
+
+def fixed_frames_segment_indices(
+    t: np.ndarray, split_by: str, frames_num: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Segment ``[j_l, j_r)`` per frame — parity with
+    ``cal_fixed_frames_number_segment_index``
+    (``datasets/__init__.py:248-300``): 'number' packs ``N//M`` events per
+    frame, 'time' slices into ``floor(span/M)``-long windows; the last
+    frame absorbs the remainder in both. Implemented with searchsorted
+    (the t array is time-sorted) instead of the reference's per-frame
+    boolean masks; an empty time bin yields ``j_l == j_r`` where the
+    reference crashes.
+    """
+    n = int(t.size)
+    if split_by == "number":
+        di = n // frames_num
+        j_l = np.arange(frames_num, dtype=np.int64) * di
+        j_r = j_l + di
+        j_r[-1] = n
+    elif split_by == "time":
+        dt = (int(t[-1]) - int(t[0])) // frames_num
+        bounds = int(t[0]) + dt * np.arange(frames_num + 1, dtype=np.int64)
+        edges = np.searchsorted(t, bounds, side="left")
+        j_l, j_r = edges[:-1], edges[1:].copy()
+        j_r[-1] = n
+    else:
+        raise ValueError(f"split_by must be 'time'|'number', got {split_by!r}")
+    return j_l, j_r
+
+
+def _scatter_frames(
+    frame_idx: np.ndarray, events: Events, frames_num: int, H: int, W: int
+) -> np.ndarray:
+    """One scatter-add for ALL frames: (T, H, W, 2) event counts."""
+    frames = np.zeros((frames_num, H, W, 2), np.float32)
+    if frame_idx.size:
+        x = events["x"].astype(np.int64)
+        y = events["y"].astype(np.int64)
+        p = events["p"].astype(np.int64)
+        np.add.at(frames, (frame_idx, y, x, p), 1.0)
+    return frames
+
+
+def integrate_by_fixed_frames(
+    events: Events, split_by: str, frames_num: int, H: int, W: int
+) -> np.ndarray:
+    """Events -> ``(frames_num, H, W, 2)`` count frames; the reference's
+    ``integrate_events_by_fixed_frames_number``
+    (``datasets/__init__.py:301-323``) in NHWC with a single scatter-add
+    (segments are contiguous, so the per-event frame index is a repeat of
+    the segment lengths)."""
+    t = np.asarray(events["t"])
+    if t.size == 0:
+        return np.zeros((frames_num, H, W, 2), np.float32)
+    j_l, j_r = fixed_frames_segment_indices(t, split_by, frames_num)
+    # segments tile [0, N) contiguously in both modes (j_r[-1] = N), so
+    # the per-event frame index is a repeat of the segment lengths
+    frame_idx = np.repeat(
+        np.arange(frames_num, dtype=np.int64), j_r - j_l
+    )
+    return _scatter_frames(frame_idx, events, frames_num, H, W)
+
+
+def integrate_by_fixed_duration(
+    events: Events, duration: int, H: int, W: int
+) -> np.ndarray:
+    """Events -> ``(ceil-ish, H, W, 2)``: greedy fixed-time-window frames,
+    parity with ``integrate_events_by_fixed_duration``
+    (``datasets/__init__.py:352-389``): each frame spans events with
+    ``t - t[left] <= duration`` starting at the previous frame's end."""
+    t = np.asarray(events["t"])
+    n = int(t.size)
+    if n == 0:
+        return np.zeros((0, H, W, 2), np.float32)
+    lefts = [0]
+    while True:
+        left = lefts[-1]
+        right = int(np.searchsorted(t, int(t[left]) + duration, "right"))
+        if right >= n:
+            break
+        lefts.append(right)
+    bounds = np.asarray(lefts + [n], np.int64)
+    m = len(lefts)
+    frame_idx = np.repeat(
+        np.arange(m, dtype=np.int64), bounds[1:] - bounds[:-1]
+    )
+    return _scatter_frames(frame_idx, events, m, H, W)
+
+
+# ---------------------------------------------------------------------------
+# dataset folder
+# ---------------------------------------------------------------------------
+
+def _np_load_events(path: str) -> Events:
+    with np.load(path) as z:
+        return {k: z[k] for k in ("t", "x", "y", "p")}
+
+
+class EventDatasetFolder:
+    """``NeuromorphicDatasetFolder`` equivalent (no torch).
+
+    Layout contract (identical to the reference,
+    ``datasets/__init__.py:571-838``)::
+
+        root/events_np/{train,test}/<class_name>/<sample>.npz   (t,x,y,p)
+        root/frames_number_{M}_split_by_{s}/...                  (cache)
+        root/duration_{D}/...                                    (cache)
+
+    ``data_type='event'`` yields raw event dicts; ``'frame'`` integrates
+    on first access and caches npz frames next to the events tree, then
+    serves from the cache. Samples are ``(sample, label)``;
+    ``as_arrays()`` stacks fixed-shape frames into one ``(N, T, H, W, 2)``
+    batch for jit-friendly pipelines.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        train: bool = True,
+        data_type: str = "event",
+        frames_number: Optional[int] = None,
+        split_by: Optional[str] = None,
+        duration: Optional[int] = None,
+        custom_integrate_function: Optional[Callable] = None,
+        transform: Optional[Callable] = None,
+        target_transform: Optional[Callable] = None,
+    ) -> None:
+        self.H, self.W = self.get_H_W()
+        self.transform = transform
+        self.target_transform = target_transform
+        events_root = os.path.join(root, "events_np")
+        if not os.path.isdir(events_root):
+            raise FileNotFoundError(
+                f"{events_root} not found. Download the archives listed by "
+                f"resource_url_md5() into {root}/download, extract into "
+                f"{root}/extract, then call create_events_np_files(); or "
+                "use .synthesize(root) for a synthetic tree."
+            )
+        split = "train" if train else "test"
+
+        if data_type == "event":
+            data_root = os.path.join(events_root, split)
+            self._loader: Callable = _np_load_events
+        elif data_type == "frame":
+            if frames_number is not None:
+                if split_by not in ("time", "number"):
+                    raise ValueError(
+                        "split_by must be 'time'|'number' with frames_number"
+                    )
+                cache = os.path.join(
+                    root, f"frames_number_{frames_number}_split_by_{split_by}"
+                )
+
+                def integrate(ev: Events) -> np.ndarray:
+                    return integrate_by_fixed_frames(
+                        ev, split_by, frames_number, self.H, self.W
+                    )
+            elif duration is not None:
+                cache = os.path.join(root, f"duration_{duration}")
+
+                def integrate(ev: Events) -> np.ndarray:
+                    return integrate_by_fixed_duration(
+                        ev, duration, self.H, self.W
+                    )
+            elif custom_integrate_function is not None:
+                cache = os.path.join(
+                    root, custom_integrate_function.__name__
+                )
+
+                def integrate(ev: Events) -> np.ndarray:
+                    return custom_integrate_function(ev, self.H, self.W)
+            else:
+                raise ValueError(
+                    "data_type='frame' needs frames_number, duration, or "
+                    "custom_integrate_function"
+                )
+            self._build_frame_cache(
+                os.path.join(events_root, split),
+                os.path.join(cache, split),
+                integrate,
+            )
+            data_root = os.path.join(cache, split)
+
+            def _load_frames(path: str) -> np.ndarray:
+                with np.load(path) as z:
+                    return z["frames"].astype(np.float32)
+
+            self._loader = _load_frames
+        else:
+            raise ValueError(f"data_type must be 'event'|'frame', got {data_type!r}")
+
+        self.samples: List[Tuple[str, int]] = []
+        self.classes = sorted(
+            d for d in os.listdir(data_root)
+            if os.path.isdir(os.path.join(data_root, d))
+        )
+        for label, cls in enumerate(self.classes):
+            cdir = os.path.join(data_root, cls)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.endswith(".npz"):
+                    self.samples.append((os.path.join(cdir, fname), label))
+
+    @staticmethod
+    def _build_frame_cache(
+        events_dir: str, cache_dir: str, integrate: Callable
+    ) -> None:
+        if os.path.isdir(cache_dir):
+            return
+        for e_root, _dirs, e_files in os.walk(events_dir):
+            rel = os.path.relpath(e_root, events_dir)
+            out_dir = os.path.join(cache_dir, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for e_file in sorted(e_files):
+                if not e_file.endswith(".npz"):
+                    continue
+                frames = integrate(
+                    _np_load_events(os.path.join(e_root, e_file))
+                )
+                np.savez_compressed(
+                    os.path.join(out_dir, e_file), frames=frames
+                )
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, index: int):
+        path, label = self.samples[index]
+        sample = self._loader(path)
+        if self.transform is not None:
+            sample = self.transform(sample)
+        if self.target_transform is not None:
+            label = self.target_transform(label)
+        return sample, label
+
+    def as_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Stack every (fixed-shape) sample: ``(N, ...), (N,)`` labels."""
+        xs, ys = zip(*(self[i] for i in range(len(self))))
+        return np.stack(xs), np.asarray(ys, np.int64)
+
+    # --- per-dataset hooks (reference's abstract staticmethods) ---
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        raise NotImplementedError
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        raise NotImplementedError
+
+    @staticmethod
+    def downloadable() -> bool:
+        return False
+
+
+def _save_events(path: str, ev: Events) -> None:
+    np.savez_compressed(
+        path, t=ev["t"], x=ev["x"], y=ev["y"], p=ev["p"]
+    )
+
+
+def _synthetic_events(
+    rng: np.random.RandomState, H: int, W: int, n: int, cls: int, n_cls: int
+) -> Events:
+    """Class-conditional synthetic stream: a dot sweeping at a
+    class-specific angle (temporal structure carries the label)."""
+    t = np.sort(rng.randint(0, 1_000_000, n)).astype(np.int64)
+    ang = 2 * np.pi * cls / max(n_cls, 1)
+    frac = t / 1_000_000.0
+    y = np.clip(H / 2 + frac * (H / 3) * np.sin(ang) + rng.randn(n), 0, H - 1)
+    x = np.clip(W / 2 + frac * (W / 3) * np.cos(ang) + rng.randn(n), 0, W - 1)
+    return {
+        "t": t,
+        "x": x.astype(np.int64),
+        "y": y.astype(np.int64),
+        "p": rng.randint(0, 2, n).astype(np.int64),
+    }
+
+
+class NMNIST(EventDatasetFolder):
+    """N-MNIST (34x34 ATIS saccade recordings of MNIST digits).
+
+    Parity target: ``datasets/n_mnist.py`` — ``Train.zip``/``Test.zip``
+    extract to ``Train/<0..9>/*.bin``; each bin is an ATIS 40-bit stream.
+    """
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 34, 34
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://www.garrickorchard.com/datasets/n-mnist"
+        return [
+            ("Train.zip", url, "20959b8e626244a1b502305a9e6e2031"),
+            ("Test.zip", url, "69ca8762b2fe404d9b9bad1103e97832"),
+        ]
+
+    @staticmethod
+    def load_origin_data(file_name: str) -> Events:
+        return load_atis_bin(file_name)
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        """``extract/{Train,Test}/<digit>/*.bin`` ->
+        ``events_np/{train,test}/<digit>/*.npz`` (parity:
+        ``datasets/n_mnist.py:104-136``; serial — one core here)."""
+        for split in ("Train", "Test"):
+            src = os.path.join(extract_root, split)
+            dst = os.path.join(events_np_root, split.lower())
+            for class_name in sorted(os.listdir(src)):
+                bin_dir = os.path.join(src, class_name)
+                np_dir = os.path.join(dst, class_name)
+                os.makedirs(np_dir, exist_ok=True)
+                for bin_file in sorted(os.listdir(bin_dir)):
+                    out = os.path.splitext(bin_file)[0] + ".npz"
+                    _save_events(
+                        os.path.join(np_dir, out),
+                        cls.load_origin_data(
+                            os.path.join(bin_dir, bin_file)
+                        ),
+                    )
+
+    @classmethod
+    def synthesize(
+        cls, root: str, per_class: int = 2, n_events: int = 400,
+        num_classes: int = 10, seed: int = 0,
+    ) -> str:
+        """Write a tiny synthetic ``events_np`` tree with the real layout
+        (this environment cannot download the archives)."""
+        rng = np.random.RandomState(seed)
+        H, W = cls.get_H_W()
+        for split in ("train", "test"):
+            for c in range(num_classes):
+                d = os.path.join(root, "events_np", split, str(c))
+                os.makedirs(d, exist_ok=True)
+                for i in range(per_class):
+                    _save_events(
+                        os.path.join(d, f"synthetic_{i}.npz"),
+                        _synthetic_events(
+                            rng, H, W, n_events, c, num_classes
+                        ),
+                    )
+        return root
+
+
+class DVS128Gesture(EventDatasetFolder):
+    """DVS128 Gesture (128x128, 11 classes, aedat 3.1 trial recordings).
+
+    Parity target: ``datasets/dvs128_gesture.py`` — ``DvsGesture.tar.gz``
+    extracts to ``DvsGesture/`` holding ``userNN_<light>.aedat`` +
+    ``userNN_<light>_labels.csv`` (label, startTime_usec, endTime_usec
+    rows) and ``trials_to_train.txt`` / ``trials_to_test.txt``.
+    """
+
+    NUM_CLASSES = 11
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 128, 128
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = ("https://ibm.ent.box.com/s/3hiq58ww1pbbjrinh367ykfdf60xsfm8/"
+               "folder/50167556794")
+        return [
+            ("DvsGesture.tar.gz", url, "8a5c71fb11e24e5ca5b11866ca6c00a1"),
+            ("gesture_mapping.csv", url, "109b2ae64a0e1f3ef535b18ad7367fd1"),
+        ]
+
+    @staticmethod
+    def load_origin_data(file_name: str) -> Events:
+        return load_aedat_v3(file_name)
+
+    @classmethod
+    def split_aedat_to_np(
+        cls, fname: str, aedat_file: str, csv_file: str, output_dir: str
+    ) -> None:
+        """Slice one trial recording into per-gesture samples by the csv's
+        [start, end) windows; labels are csv label minus 1 (parity:
+        ``datasets/dvs128_gesture.py:193-227``)."""
+        events = cls.load_origin_data(aedat_file)
+        csv_data = np.loadtxt(
+            csv_file, dtype=np.uint32, delimiter=",", skiprows=1
+        ).reshape(-1, 3)
+        counts = [0] * cls.NUM_CLASSES
+        for label_1, t_start, t_end in csv_data:
+            label = int(label_1) - 1
+            mask = (events["t"] >= t_start) & (events["t"] < t_end)
+            out_dir = os.path.join(output_dir, str(label))
+            os.makedirs(out_dir, exist_ok=True)
+            _save_events(
+                os.path.join(out_dir, f"{fname}_{counts[label]}.npz"),
+                {k: events[k][mask] for k in ("t", "x", "y", "p")},
+            )
+            counts[label] += 1
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        aedat_dir = os.path.join(extract_root, "DvsGesture")
+        for trials, split in (
+            ("trials_to_train.txt", "train"),
+            ("trials_to_test.txt", "test"),
+        ):
+            out = os.path.join(events_np_root, split)
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(aedat_dir, trials)) as f:
+                for line in f:
+                    fname = line.strip()
+                    if not fname:
+                        continue
+                    stem = os.path.splitext(fname)[0]
+                    cls.split_aedat_to_np(
+                        stem,
+                        os.path.join(aedat_dir, fname),
+                        os.path.join(aedat_dir, stem + "_labels.csv"),
+                        out,
+                    )
+
+    @classmethod
+    def synthesize(
+        cls, root: str, per_class: int = 1, n_events: int = 600, seed: int = 0
+    ) -> str:
+        rng = np.random.RandomState(seed)
+        H, W = cls.get_H_W()
+        for split in ("train", "test"):
+            for c in range(cls.NUM_CLASSES):
+                d = os.path.join(root, "events_np", split, str(c))
+                os.makedirs(d, exist_ok=True)
+                for i in range(per_class):
+                    _save_events(
+                        os.path.join(d, f"user{i:02d}_synthetic_{c}.npz"),
+                        _synthetic_events(
+                            rng, H, W, n_events, c, cls.NUM_CLASSES
+                        ),
+                    )
+        return root
+
+
+class CIFAR10DVS(EventDatasetFolder):
+    """CIFAR10-DVS (128x128 jAER recordings of CIFAR-10 images).
+
+    Parity target: ``datasets/cifar10_dvs.py`` — per-class zips extract to
+    ``<class_name>/*.aedat`` in jAER 2.0 format with the DVS128 7-bit
+    address layout; the reference applies the events-tfds coordinate fix
+    ``x' = 127 - y, y' = 127 - x, p' = 1 - p``
+    (``datasets/cifar10_dvs.py:186-196``), replicated here.
+    """
+
+    CLASS_NAMES = (
+        "airplane", "automobile", "bird", "cat", "deer",
+        "dog", "frog", "horse", "ship", "truck",
+    )
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 128, 128
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://figshare.com/articles/dataset/CIFAR10-DVS_New/4724671"
+        return [(f"{c}.zip", url, "") for c in CIFAR10DVS.CLASS_NAMES]
+
+    @staticmethod
+    def load_origin_data(file_name: str) -> Events:
+        ev = load_jaer_dat(
+            file_name,
+            x_mask=0xFE, x_shift=1,
+            y_mask=0x7F00, y_shift=8,
+            polarity_mask=1, polarity_shift=None,
+        )
+        return {
+            "t": ev["t"],
+            "x": 127 - ev["y"],
+            "y": 127 - ev["x"],
+            "p": 1 - ev["p"],
+        }
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str, train_ratio: float = 0.9
+    ) -> None:
+        """Per-class ``*.aedat`` -> events_np train/test split (the origin
+        dataset has no canonical split; the reference leaves splitting to
+        ``split_to_train_test_set`` — here the first ``train_ratio`` of
+        each class's sorted files go to train, deterministic)."""
+        for class_name in sorted(os.listdir(extract_root)):
+            src = os.path.join(extract_root, class_name)
+            if not os.path.isdir(src):
+                continue
+            files = sorted(
+                f for f in os.listdir(src) if f.endswith((".aedat", ".dat"))
+            )
+            n_train = int(len(files) * train_ratio)
+            for i, fname in enumerate(files):
+                split = "train" if i < n_train else "test"
+                out_dir = os.path.join(events_np_root, split, class_name)
+                os.makedirs(out_dir, exist_ok=True)
+                _save_events(
+                    os.path.join(
+                        out_dir, os.path.splitext(fname)[0] + ".npz"
+                    ),
+                    cls.load_origin_data(os.path.join(src, fname)),
+                )
+
+    @classmethod
+    def synthesize(
+        cls, root: str, per_class: int = 1, n_events: int = 600, seed: int = 0
+    ) -> str:
+        rng = np.random.RandomState(seed)
+        H, W = cls.get_H_W()
+        for split in ("train", "test"):
+            for c, name in enumerate(cls.CLASS_NAMES):
+                d = os.path.join(root, "events_np", split, name)
+                os.makedirs(d, exist_ok=True)
+                for i in range(per_class):
+                    _save_events(
+                        os.path.join(d, f"cifar10_{name}_{i}.npz"),
+                        _synthetic_events(rng, H, W, n_events, c, 10),
+                    )
+        return root
+
+
+# ---------------------------------------------------------------------------
+# batching utilities (reference datasets/__init__.py:476-569)
+# ---------------------------------------------------------------------------
+
+def pad_sequence_stack(
+    seqs: Sequence[np.ndarray],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad variable-length ``(T_i, ...)`` samples to one
+    ``(N, T_max, ...)`` batch + ``(N,)`` true lengths — the reference's
+    ``pad_sequence_collate`` without torch."""
+    lens = np.asarray([s.shape[0] for s in seqs], np.int64)
+    t_max = int(lens.max())
+    out = np.zeros((len(seqs), t_max) + tuple(seqs[0].shape[1:]),
+                   seqs[0].dtype)
+    for i, s in enumerate(seqs):
+        out[i, : s.shape[0]] = s
+    return out, lens
+
+
+def padded_sequence_mask(sequence_len, T: Optional[int] = None):
+    """``(N,)`` lengths -> ``(T, N)`` bool validity mask (True where
+    ``t < len_n``) — the reference's CUDA ``padded_sequence_mask`` kernel
+    (``datasets/__init__.py:515-569``) as one jnp comparison (XLA fuses
+    the iota + broadcast; no kernel needed on TPU)."""
+    import jax.numpy as jnp
+
+    sequence_len = jnp.asarray(sequence_len)
+    if T is None:
+        T = int(jnp.max(sequence_len))
+    return jnp.arange(T)[:, None] < sequence_len[None, :]
+
+
+def split_to_train_test_set(
+    train_ratio: float,
+    labels: np.ndarray,
+    num_classes: int,
+    seed: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-class index split (reference ``split_to_train_test_set``,
+    ``datasets/__init__.py:438-474``): first ``train_ratio`` of each
+    class's sample indices -> train, rest -> test; optional shuffle."""
+    rng = np.random.RandomState(seed) if seed is not None else None
+    train_idx, test_idx = [], []
+    for c in range(num_classes):
+        idx = np.nonzero(np.asarray(labels) == c)[0]
+        if rng is not None:
+            idx = rng.permutation(idx)
+        pos = int(len(idx) * train_ratio)
+        train_idx.append(idx[:pos])
+        test_idx.append(idx[pos:])
+    return np.concatenate(train_idx), np.concatenate(test_idx)
