@@ -204,12 +204,20 @@ class PriorBernoulli(nn.Module):
         _, p_z = jax.lax.scan(body, init, (z_shift, use_self, noise))
         return p_z
 
-    def sample(self, key: jax.Array, batch: int) -> jax.Array:
+    def sample(
+        self,
+        key: jax.Array,
+        batch: int,
+        choice: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """Ancestral generation: z_t picked uniformly from the k Bernoulli
-        channels of p(z_t | z_<t) (``vae_model.py:405-423``)."""
+        channels of p(z_t | z_<t) (``vae_model.py:405-423``). ``choice``
+        ((T, B, C) int in [0, k)) overrides the random channel picks —
+        used by the torch-oracle sampling parity test."""
         c, k = self.cfg.latent_dim, self.cfg.k
         t_steps = self.cfg.num_steps
-        choice = jax.random.randint(key, (t_steps, batch, c), 0, k)
+        if choice is None:
+            choice = jax.random.randint(key, (t_steps, batch, c), 0, k)
 
         if self.is_initializing():
             self.mlp.step(

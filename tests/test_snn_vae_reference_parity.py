@@ -284,3 +284,43 @@ def test_posterior_end_to_end_parity_with_injected_indices(ref_posterior):
 
     np.testing.assert_array_equal(np.stack(q_zs), q_z_ref.numpy())
     np.testing.assert_array_equal(np.stack(zs), z_ref.numpy())
+
+
+def test_prior_sample_loop_parity(ref_prior):
+    """Full ancestral SAMPLING loop (``vae_model.py:405-423``) vs our
+    ``PriorBernoulli.sample`` with injected channel choices.
+
+    The torch loop re-forwards the whole growing prefix each step; run
+    with reset_net between iterations (fresh-state causal semantics, the
+    intended math and what the prior's eval path implements), its step-t
+    last output equals our scan step, so identical k-choices must yield
+    an identical sampled (T, B, C) z — exactly.
+    """
+    torch.manual_seed(31)
+    choices = torch.randint(0, K, (T, B, C))
+
+    z_minus_t = torch.zeros(1, B, C)
+    zs_ref = []
+    with torch.no_grad():
+        for t in range(T):
+            sj_functional.reset_net(ref_prior)
+            outputs = ref_prior.layers(z_minus_t)  # (t+1, B, C*k)
+            p_z_t = outputs[-1].view(B, C, K)
+            z_t = torch.gather(p_z_t, 2, choices[t][..., None])[..., 0]
+            zs_ref.append(z_t.numpy())
+            z_minus_t = torch.cat([z_minus_t, z_t.view(1, B, C)], dim=0)
+    sj_functional.reset_net(ref_prior)
+    z_ref = np.stack(zs_ref)  # (T, B, C)
+
+    cfg = SNNVAEConfig()
+    prior_j = PriorBernoulli(cfg)
+    zeros = jnp.zeros((T, B, C), jnp.float32)
+    variables = prior_j.init(
+        jax.random.PRNGKey(0), zeros, scheduled=False
+    )
+    params = _copy_linear_weights(ref_prior.layers, variables["params"])
+    z_j = prior_j.apply(
+        {"params": params}, jax.random.PRNGKey(0), B,
+        choice=jnp.asarray(choices.numpy()), method="sample",
+    )
+    np.testing.assert_array_equal(np.asarray(z_j), z_ref)
