@@ -86,6 +86,14 @@ class Generator:
             )
 
         self._generate = generate
+        # speculative pipeline: one in-flight device batch dispatched ahead
+        # of demand. JAX dispatch is async — the next batch COMPUTES while
+        # this request's device->host copy (and the client's PNG encode)
+        # run, so sequential request latency is max(compute, copy+RTT)
+        # rather than their sum. Samples are i.i.d. draws, so serving the
+        # pre-dispatched batch is semantically identical to on-demand.
+        self._pending = None  # (device_array, temperature)
+        self.speculate = True
         # warm compile
         _ = np.asarray(self._generate(self._key, 0.65))
 
@@ -93,20 +101,31 @@ class Generator:
         import time
 
         with self._lock:
-            self._key, k = jax.random.split(self._key)
             t0 = time.perf_counter()
-            out = np.asarray(self._generate(k, temperature))
+            self._key, k1, k2 = jax.random.split(self._key, 3)
+            if self._pending is not None and self._pending[1] == temperature:
+                dev = self._pending[0]
+            else:
+                dev = self._generate(k1, temperature)
+            self._pending = (
+                (self._generate(k2, temperature), temperature)
+                if self.speculate else None
+            )
+            out = np.asarray(dev)  # next batch computes during this copy
             self.last_latency_s = time.perf_counter() - t0
         return out[:n]
 
     def bench(self, requests: int = 8, temperature: float = 0.65) -> dict:
         """Measured serving latency at the compiled batch: sequential
         requests, each timed to full host materialization (what a client
-        actually waits for, including the device->host image copy)."""
+        actually waits for, including the device->host image copy). The
+        first request primes the speculative pipeline and is excluded
+        from the percentiles (steady-state serving latency)."""
+        import time
+
+        self.sample(self.batch, temperature)  # prime the pipeline
         lats = []
         for _ in range(requests):
-            import time
-
             t0 = time.perf_counter()
             self.sample(self.batch, temperature)
             lats.append(time.perf_counter() - t0)
@@ -114,7 +133,9 @@ class Generator:
         return {
             "batch": self.batch,
             "requests": requests,
+            "speculate": self.speculate,
             "p50_s": round(lats[len(lats) // 2], 4),
+            "p90_s": round(lats[min(len(lats) - 1, int(0.9 * len(lats)))], 4),
             "min_s": round(lats[0], 4),
             "max_s": round(lats[-1], 4),
             "images_per_sec": round(self.batch / lats[len(lats) // 2], 2),
@@ -190,10 +211,14 @@ def main():
     p.add_argument("--bench", type=int, default=0,
                    help="measure serving latency over N sequential "
                         "requests at the compiled batch, print JSON, exit")
+    p.add_argument("--speculate", type=int, default=1,
+                   help="pre-dispatch the next batch while serving this "
+                        "one (overlaps compute with the host copy)")
     args = p.parse_args()
 
     gen = Generator(args.checkpoint, args.batch, args.num_steps,
                     args.codebook_size, dtype=args.dtype)
+    gen.speculate = bool(args.speculate)
     if args.bench:
         print(json.dumps(gen.bench(args.bench)))
         return
