@@ -118,3 +118,93 @@ def grad_norms(grads: Any) -> Dict[str, float]:
         )
         out[str(name)] = float(jnp.linalg.norm(leaf))
     return out
+
+
+class DeviceMonitor:
+    """TPU-side ``GPUMonitor`` equivalent
+    (``spikingjelly.zip!activation_based/monitor.py:795-900``): a daemon
+    thread samples per-device memory stats every ``interval`` seconds via
+    ``Device.memory_stats()`` (bytes_in_use / peak_bytes_in_use — the
+    TPU runtime's own counters; there is no nvidia-smi analogue to shell
+    out to). Records a time series; ``stop()`` returns it and
+    ``summary()`` reduces it. Prints each sample when ``verbose``.
+
+    Platforms whose runtime exposes no memory stats (e.g. some remote
+    tunnels) yield empty samples rather than failing — the monitor is an
+    observability aid, never a crash source.
+
+        dm = DeviceMonitor(interval=1.0)
+        ... work ...
+        print(dm.stop_and_summary())
+    """
+
+    def __init__(self, interval: float = 10.0, devices=None,
+                 start_now: bool = True, verbose: bool = False):
+        import threading
+        import time as _time
+
+        self.interval = interval
+        self.verbose = verbose
+        self._devices = devices
+        self._stop = threading.Event()
+        self.records: list = []
+
+        def loop():
+            devs = self._devices
+            if devs is None:
+                try:
+                    devs = jax.devices()
+                except Exception:
+                    devs = []
+            while not self._stop.is_set():
+                stamp = _time.time()
+                sample = {"t": stamp}
+                for d in devs:
+                    try:
+                        ms = d.memory_stats() or {}
+                    except Exception:
+                        ms = {}
+                    sample[str(d.id)] = {
+                        "bytes_in_use": ms.get("bytes_in_use"),
+                        "peak_bytes_in_use": ms.get("peak_bytes_in_use"),
+                    }
+                self.records.append(sample)
+                if self.verbose:
+                    print(f"[device-monitor] {sample}")
+                self._stop.wait(self.interval)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        if start_now:
+            self.start()
+
+    def start(self) -> None:
+        if not self._thread.is_alive():
+            self._thread.start()
+
+    def stop(self) -> list:
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=self.interval + 1.0)
+        return self.records
+
+    def summary(self) -> Dict[str, Any]:
+        per_dev: Dict[str, list] = {}
+        for rec in self.records:
+            for dev_id, stats in rec.items():
+                if dev_id == "t":
+                    continue
+                b = stats.get("bytes_in_use")
+                if b is not None:
+                    per_dev.setdefault(dev_id, []).append(b)
+        return {
+            dev_id: {
+                "samples": len(vals),
+                "mean_bytes_in_use": int(np.mean(vals)),
+                "max_bytes_in_use": int(np.max(vals)),
+            }
+            for dev_id, vals in per_dev.items()
+        }
+
+    def stop_and_summary(self) -> Dict[str, Any]:
+        self.stop()
+        return self.summary()

@@ -67,3 +67,19 @@ def test_grad_norms():
     assert len(norms) > 5
     assert all(np.isfinite(v) for v in norms.values())
     assert any(v > 0 for v in norms.values())
+
+
+def test_device_monitor_records_and_summarizes():
+    import time
+
+    from spiking_diffusion_tpu.profiling.monitor import DeviceMonitor
+
+    dm = DeviceMonitor(interval=0.05, start_now=True)
+    time.sleep(0.2)
+    records = dm.stop()
+    assert len(records) >= 2
+    assert all("t" in r for r in records)
+    # CPU backend exposes no memory_stats -> empty summary, no crash
+    assert isinstance(dm.summary(), dict)
+    # stopping twice is safe
+    dm.stop()
