@@ -59,6 +59,9 @@ __all__ = [
     "padded_sequence_mask",
     "pad_sequence_stack",
     "split_to_train_test_set",
+    "integrate_1d_by_fixed_frames",
+    "SpikingHeidelbergDigits",
+    "SpikingSpeechCommands",
 ]
 
 
@@ -752,3 +755,214 @@ def split_to_train_test_set(
         train_idx.append(idx[:pos])
         test_idx.append(idx[pos:])
     return np.concatenate(train_idx), np.concatenate(test_idx)
+
+
+# ---------------------------------------------------------------------------
+# Spiking Heidelberg Digits / Spiking Speech Commands (1-D audio spikes)
+# (reference ``datasets/shd.py``, 848 LoC — HDF5 schema:
+#  spikes/times (float seconds), spikes/units (0..W-1), labels)
+# ---------------------------------------------------------------------------
+
+def integrate_1d_by_fixed_frames(
+    events: Events, split_by: str, frames_num: int, W: int
+) -> np.ndarray:
+    """1-D events -> ``(frames_num, W)`` count frames. Parity with
+    ``cal_fixed_frames_number_segment_index_shd`` +
+    ``integrate_events_segment_to_frame_shd`` (``datasets/shd.py:15-63``):
+    unlike the 2-D integrator, the SHD 'time' split uses FLOAT dt (times
+    are seconds), and there is no polarity channel."""
+    t = np.asarray(events["t"])
+    x = np.asarray(events["x"], np.int64)
+    n = int(t.size)
+    frames = np.zeros((frames_num, W), np.float32)
+    if n == 0:
+        return frames
+    if split_by == "number":
+        di = n // frames_num
+        j_l = np.arange(frames_num, dtype=np.int64) * di
+        j_r = j_l + di
+        j_r[-1] = n
+    elif split_by == "time":
+        dt = (float(t[-1]) - float(t[0])) / frames_num
+        bounds = float(t[0]) + dt * np.arange(frames_num + 1)
+        edges = np.searchsorted(t, bounds, side="left")
+        j_l, j_r = edges[:-1], edges[1:].copy()
+        j_r[-1] = n
+    else:
+        raise ValueError(f"split_by must be 'time'|'number', got {split_by!r}")
+    frame_idx = np.repeat(np.arange(frames_num, dtype=np.int64), j_r - j_l)
+    np.add.at(frames, (frame_idx, x), 1.0)
+    return frames
+
+
+class SpikingHeidelbergDigits:
+    """SHD: 700-channel cochlea spike trains of spoken digits, 20 classes
+    (English+German 0-9). Parity target ``datasets/shd.py:122-463``.
+
+    Layout: ``root/extract/shd_train.h5`` / ``shd_test.h5`` (download the
+    zips from zenkelab.org and extract; or ``synthesize(root)`` writes
+    tiny fake h5 files with the real schema). ``data_type='event'`` yields
+    ``{'t','x'}`` dicts; ``'frame'`` integrates with
+    :func:`integrate_1d_by_fixed_frames` and caches npz per sample.
+    """
+
+    H5_SPLITS = {"train": "shd_train.h5", "test": "shd_test.h5"}
+    NUM_CLASSES = 20
+    W = 700
+
+    def __init__(
+        self,
+        root: str,
+        train: bool = True,
+        data_type: str = "event",
+        frames_number: Optional[int] = None,
+        split_by: Optional[str] = None,
+        transform: Optional[Callable] = None,
+        target_transform: Optional[Callable] = None,
+    ) -> None:
+        import h5py
+
+        # train accepts True/False or a split name ('valid' for SSC)
+        split = train if isinstance(train, str) else (
+            "train" if train else "test"
+        )
+        if split not in self.H5_SPLITS:
+            raise ValueError(
+                f"unknown split {split!r}; have {sorted(self.H5_SPLITS)}"
+            )
+        h5_path = os.path.join(root, "extract", self.H5_SPLITS[split])
+        if not os.path.exists(h5_path):
+            raise FileNotFoundError(
+                f"{h5_path} not found; download "
+                f"{self.H5_SPLITS[split]}.zip from zenkelab.org into "
+                f"{root}/download and extract, or use .synthesize(root)."
+            )
+        self.transform = transform
+        self.target_transform = target_transform
+        self.data_type = data_type
+        self._h5 = h5py.File(h5_path, "r")
+        self.labels = np.asarray(self._h5["labels"], np.int64)
+        if data_type == "frame":
+            if frames_number is None or split_by not in ("time", "number"):
+                raise ValueError(
+                    "data_type='frame' needs frames_number and "
+                    "split_by in {'time','number'}"
+                )
+            cache = os.path.join(
+                root,
+                f"frames_number_{frames_number}_split_by_{split_by}",
+                split,
+            )
+            if not os.path.isdir(cache):
+                os.makedirs(cache, exist_ok=True)
+                times = self._h5["spikes"]["times"]
+                units = self._h5["spikes"]["units"]
+                for i in range(len(self.labels)):
+                    frames = integrate_1d_by_fixed_frames(
+                        {"t": times[i], "x": units[i]},
+                        split_by, frames_number, self.W,
+                    )
+                    np.savez_compressed(
+                        os.path.join(cache, f"{i}.npz"),
+                        frames=frames, label=self.labels[i],
+                    )
+            self._cache = cache
+        elif data_type != "event":
+            raise ValueError(
+                f"data_type must be 'event'|'frame', got {data_type!r}"
+            )
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def __getitem__(self, i: int):
+        if self.data_type == "event":
+            sample = {
+                "t": np.asarray(self._h5["spikes"]["times"][i]),
+                "x": np.asarray(self._h5["spikes"]["units"][i], np.int64),
+            }
+        else:
+            with np.load(os.path.join(self._cache, f"{i}.npz")) as z:
+                sample = z["frames"].astype(np.float32)
+        label = int(self.labels[i])
+        if self.transform is not None:
+            sample = self.transform(sample)
+        if self.target_transform is not None:
+            label = self.target_transform(label)
+        return sample, label
+
+    def as_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        xs, ys = zip(*(self[i] for i in range(len(self))))
+        return np.stack(xs), np.asarray(ys, np.int64)
+
+    @classmethod
+    def synthesize(
+        cls, root: str, per_class: int = 2, n_events: int = 300, seed: int = 0
+    ) -> str:
+        """Tiny fake h5 files with the real SHD schema (variable-length
+        ragged times/units datasets + labels)."""
+        import h5py
+
+        rng = np.random.RandomState(seed)
+        os.makedirs(os.path.join(root, "extract"), exist_ok=True)
+        for split, fname in cls.H5_SPLITS.items():
+            times, units, labels = [], [], []
+            for c in range(cls.NUM_CLASSES):
+                for _ in range(per_class):
+                    n = n_events + rng.randint(-50, 50)
+                    t = np.sort(rng.rand(n)).astype(np.float64)
+                    center = (c + 0.5) * cls.W / cls.NUM_CLASSES
+                    x = np.clip(
+                        rng.randn(n) * 40 + center, 0, cls.W - 1
+                    ).astype(np.int64)
+                    times.append(t)
+                    units.append(x)
+                    labels.append(c)
+            vf = h5py.special_dtype(vlen=np.dtype("float64"))
+            vi = h5py.special_dtype(vlen=np.dtype("int64"))
+            with h5py.File(
+                os.path.join(root, "extract", fname), "w"
+            ) as f:
+                g = f.create_group("spikes")
+                dt_ds = g.create_dataset(
+                    "times", (len(times),), dtype=vf
+                )
+                du_ds = g.create_dataset(
+                    "units", (len(units),), dtype=vi
+                )
+                for i, (t, u) in enumerate(zip(times, units)):
+                    dt_ds[i] = t
+                    du_ds[i] = u
+                f.create_dataset(
+                    "labels", data=np.asarray(labels, np.int64)
+                )
+        return root
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://zenkelab.org/datasets"
+        return [
+            ("shd_train.h5.zip", url, "f3252aeb598ac776c1b526422d90eecb"),
+            ("shd_test.h5.zip", url, "1503a5064faa34311c398fb0a1ed0a6f"),
+        ]
+
+
+class SpikingSpeechCommands(SpikingHeidelbergDigits):
+    """SSC: 700-channel spike trains of the Speech Commands words, 35
+    classes, with a validation split (``datasets/shd.py:465-848``).
+    ``train`` accepts True / False / 'valid'."""
+
+    H5_SPLITS = {
+        "train": "ssc_train.h5", "valid": "ssc_valid.h5",
+        "test": "ssc_test.h5",
+    }
+    NUM_CLASSES = 35
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://zenkelab.org/datasets"
+        return [
+            ("ssc_train.h5.zip", url, "d102be95e7144fcc0553d1f45ba94170"),
+            ("ssc_valid.h5.zip", url, "b4eee3516a4a90dd0c71a6ac23a8ae43"),
+            ("ssc_test.h5.zip", url, "a35ff1e9cffdd02a20eb850c17c37748"),
+        ]

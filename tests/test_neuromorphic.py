@@ -340,3 +340,91 @@ def test_split_to_train_test_set():
     assert sorted(np.concatenate([tr, te])) == list(range(10))
     # per-class balance preserved
     assert (labels[tr] == 0).sum() == 2 and (labels[tr] == 1).sum() == 3
+
+
+# ---------------------------------------------------------------------------
+# SHD / SSC (1-D audio spikes over HDF5)
+# ---------------------------------------------------------------------------
+
+def _ref_shd_fixed_frames(events, split_by, M, W):
+    """Transcription of the SHD integrators (``datasets/shd.py:15-63``):
+    float dt in 'time' mode, no polarity channel."""
+    t, x = events["t"], events["x"]
+    N = t.size
+    j_l = np.zeros(M, int)
+    j_r = np.zeros(M, int)
+    if split_by == "number":
+        di = N // M
+        for i in range(M):
+            j_l[i] = i * di
+            j_r[i] = j_l[i] + di
+        j_r[-1] = N
+    else:
+        dt = (t[-1] - t[0]) / M
+        idx = np.arange(N)
+        for i in range(M):
+            t_l = dt * i + t[0]
+            mask = np.logical_and(t >= t_l, t < t_l + dt)
+            masked = idx[mask]
+            j_l[i] = masked[0]
+            j_r[i] = masked[-1] + 1
+        j_r[-1] = N
+    frames = np.zeros([M, W])
+    for i in range(M):
+        frame = np.zeros([W])
+        xs = x[j_l[i]: j_r[i]].astype(int)
+        cnt = np.bincount(xs)
+        frame[np.arange(cnt.size)] += cnt
+        frames[i] = frame
+    return frames
+
+
+@pytest.mark.parametrize("split_by", ["time", "number"])
+def test_shd_integration_parity(split_by):
+    rng = np.random.RandomState(11)
+    n, W = 4000, 700
+    ev = {
+        "t": np.sort(rng.rand(n)),
+        "x": rng.randint(0, W, n).astype(np.int64),
+    }
+    ours = nm.integrate_1d_by_fixed_frames(ev, split_by, 16, W)
+    ref = _ref_shd_fixed_frames(ev, split_by, 16, W)
+    np.testing.assert_array_equal(ours, ref)
+    assert ours.sum() == n
+
+
+def test_shd_dataset_event_and_frame(tmp_path):
+    h5py = pytest.importorskip("h5py")  # noqa: F841
+    root = nm.SpikingHeidelbergDigits.synthesize(
+        str(tmp_path), per_class=1, n_events=200
+    )
+    ds = nm.SpikingHeidelbergDigits(root, train=True, data_type="event")
+    assert len(ds) == 20
+    ev, label = ds[0]
+    assert set(ev) == {"t", "x"} and label == 0
+
+    ds_f = nm.SpikingHeidelbergDigits(
+        root, train=False, data_type="frame", frames_number=8,
+        split_by="number",
+    )
+    x, y = ds_f.as_arrays()
+    assert x.shape == (20, 8, 700)
+    assert sorted(set(y)) == list(range(20))
+    # cache hit on second construction
+    x2, _ = nm.SpikingHeidelbergDigits(
+        root, train=False, data_type="frame", frames_number=8,
+        split_by="number",
+    ).as_arrays()
+    np.testing.assert_array_equal(x, x2)
+
+
+def test_ssc_valid_split(tmp_path):
+    pytest.importorskip("h5py")
+    # SSC's synthesize writes all three splits (it iterates H5_SPLITS)
+    root = nm.SpikingSpeechCommands.synthesize(
+        str(tmp_path), per_class=1, n_events=100
+    )
+    ds = nm.SpikingSpeechCommands(root, train="valid", data_type="event")
+    assert len(ds) == 35  # 35 classes, one sample each
+    with pytest.raises(ValueError, match="unknown split"):
+        nm.SpikingHeidelbergDigits(root, train="valid")
