@@ -62,6 +62,8 @@ __all__ = [
     "integrate_1d_by_fixed_frames",
     "SpikingHeidelbergDigits",
     "SpikingSpeechCommands",
+    "NCaltech101",
+    "ASLDVS",
 ]
 
 
@@ -317,10 +319,17 @@ class EventDatasetFolder:
                 f"{root}/extract, then call create_events_np_files(); or "
                 "use .synthesize(root) for a synthetic tree."
             )
-        split = "train" if train else "test"
+        # train=None: no canonical split (N-Caltech101, ASL-DVS) — class
+        # folders sit directly under events_np; split with
+        # split_to_train_test_set (reference NeuromorphicDatasetFolder
+        # passes train=None the same way, ``datasets/__init__.py:828-836``)
+        sub = () if train is None else (("train" if train else "test"),)
+
+        def under(base):
+            return os.path.join(base, *sub)
 
         if data_type == "event":
-            data_root = os.path.join(events_root, split)
+            data_root = under(events_root)
             self._loader: Callable = _np_load_events
         elif data_type == "frame":
             if frames_number is not None:
@@ -356,11 +365,9 @@ class EventDatasetFolder:
                     "custom_integrate_function"
                 )
             self._build_frame_cache(
-                os.path.join(events_root, split),
-                os.path.join(cache, split),
-                integrate,
+                under(events_root), under(cache), integrate
             )
-            data_root = os.path.join(cache, split)
+            data_root = under(cache)
 
             def _load_frames(path: str) -> np.ndarray:
                 with np.load(path) as z:
@@ -793,6 +800,126 @@ def integrate_1d_by_fixed_frames(
     frame_idx = np.repeat(np.arange(frames_num, dtype=np.int64), j_r - j_l)
     np.add.at(frames, (frame_idx, x), 1.0)
     return frames
+
+
+class NCaltech101(EventDatasetFolder):
+    """N-Caltech101 (180x240 ATIS saccade recordings of Caltech-101).
+
+    Parity target: ``datasets/n_caltech101.py`` — ``Caltech101.zip``
+    extracts to ``Caltech101/<class_name>/*.bin`` (same ATIS format as
+    N-MNIST); no canonical train/test split (construct with
+    ``train=None`` and split by index with
+    :func:`split_to_train_test_set`).
+    """
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 180, 240
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://www.garrickorchard.com/datasets/n-caltech101"
+        return [
+            ("Caltech101.zip", url, "66201824eabb0239c7ab992480b50ba3"),
+            ("Caltech101_annotations.zip", url,
+             "25e64cea645291e368db1e70f214988e"),
+        ]
+
+    @staticmethod
+    def load_origin_data(file_name: str) -> Events:
+        return load_atis_bin(file_name)
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        """``extract/Caltech101/<class>/*.bin`` ->
+        ``events_np/<class>/*.npz`` (no split;
+        ``datasets/n_caltech101.py:103-135``)."""
+        src_root = os.path.join(extract_root, "Caltech101")
+        for class_name in sorted(os.listdir(src_root)):
+            bin_dir = os.path.join(src_root, class_name)
+            if not os.path.isdir(bin_dir):
+                continue
+            np_dir = os.path.join(events_np_root, class_name)
+            os.makedirs(np_dir, exist_ok=True)
+            for bin_file in sorted(os.listdir(bin_dir)):
+                out = os.path.splitext(bin_file)[0] + ".npz"
+                _save_events(
+                    os.path.join(np_dir, out),
+                    cls.load_origin_data(os.path.join(bin_dir, bin_file)),
+                )
+
+    @classmethod
+    def synthesize(
+        cls, root: str, classes: Sequence[str] = ("airplanes", "faces"),
+        per_class: int = 2, n_events: int = 400, seed: int = 0,
+    ) -> str:
+        rng = np.random.RandomState(seed)
+        H, W = cls.get_H_W()
+        for c, name in enumerate(classes):
+            d = os.path.join(root, "events_np", name)
+            os.makedirs(d, exist_ok=True)
+            for i in range(per_class):
+                _save_events(
+                    os.path.join(d, f"image_{i:04d}.npz"),
+                    _synthetic_events(rng, H, W, n_events, c, len(classes)),
+                )
+        return root
+
+
+class ASLDVS(EventDatasetFolder):
+    """ASL-DVS (180x240 DVS recordings of American Sign Language letters,
+    24 classes, stored as MATLAB ``.mat`` files).
+
+    Parity target: ``datasets/asl_dvs.py`` — each sample is a .mat with
+    ``ts/x/y/pol`` arrays; the reference flips coordinates
+    (``x' = 239 - x``, ``y' = 179 - y``, ``asl_dvs.py:88-94``), replicated
+    here. No canonical split (``train=None``).
+    """
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 180, 240
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = ("https://www.dropbox.com/sh/ibq0jsicatn7l6r/"
+               "AACNrNELV56rs1YInMWUs9CAa")
+        return [("ICCV2019_DVS_dataset.zip", url,
+                 "8b46191acfd1c3c96ad58f00086842b6")]
+
+    @staticmethod
+    def load_origin_data(file_name: str) -> Events:
+        import scipy.io
+
+        m = scipy.io.loadmat(file_name)
+        return {
+            "t": np.asarray(m["ts"]).squeeze().astype(np.int64),
+            "x": 239 - np.asarray(m["x"]).squeeze().astype(np.int64),
+            "y": 179 - np.asarray(m["y"]).squeeze().astype(np.int64),
+            "p": np.asarray(m["pol"]).squeeze().astype(np.int64),
+        }
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        """``extract/<class>/*.mat`` -> ``events_np/<class>/*.npz``."""
+        for class_name in sorted(os.listdir(extract_root)):
+            mat_dir = os.path.join(extract_root, class_name)
+            if not os.path.isdir(mat_dir):
+                continue
+            np_dir = os.path.join(events_np_root, class_name)
+            os.makedirs(np_dir, exist_ok=True)
+            for mat_file in sorted(os.listdir(mat_dir)):
+                if not mat_file.endswith(".mat"):
+                    continue
+                out = os.path.splitext(mat_file)[0] + ".npz"
+                _save_events(
+                    os.path.join(np_dir, out),
+                    cls.load_origin_data(os.path.join(mat_dir, mat_file)),
+                )
 
 
 class SpikingHeidelbergDigits:

@@ -428,3 +428,46 @@ def test_ssc_valid_split(tmp_path):
     assert len(ds) == 35  # 35 classes, one sample each
     with pytest.raises(ValueError, match="unknown split"):
         nm.SpikingHeidelbergDigits(root, train="valid")
+
+
+# ---------------------------------------------------------------------------
+# splitless folder datasets (train=None): N-Caltech101 + ASL-DVS
+# ---------------------------------------------------------------------------
+
+def test_ncaltech101_splitless_folder(tmp_path):
+    root = nm.NCaltech101.synthesize(str(tmp_path), per_class=2)
+    ds = nm.NCaltech101(root, train=None, data_type="event")
+    assert len(ds) == 4 and ds.classes == ["airplanes", "faces"]
+    # frame mode caches without a split level
+    ds_f = nm.NCaltech101(
+        root, train=None, data_type="frame", frames_number=4,
+        split_by="number",
+    )
+    x, y = ds_f.as_arrays()
+    assert x.shape == (4, 4, 180, 240, 2)
+    tr, te = nm.split_to_train_test_set(0.5, y, 2)
+    assert len(tr) == 2 and len(te) == 2
+
+
+def test_asl_dvs_mat_roundtrip(tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+    rng = np.random.RandomState(4)
+    ev = _rand_events(rng, n=150, H=180, W=240)
+    extract = os.path.join(tmp_path, "extract")
+    os.makedirs(os.path.join(extract, "a"))
+    scipy_io.savemat(
+        os.path.join(extract, "a", "a_0001.mat"),
+        # on-disk .mat stores the UNflipped camera coordinates
+        {"ts": ev["t"], "x": 239 - ev["x"], "y": 179 - ev["y"],
+         "p_unused": 0, "pol": ev["p"]},
+    )
+    root = os.path.join(tmp_path, "root")
+    nm.ASLDVS.create_events_np_files(
+        extract, os.path.join(root, "events_np")
+    )
+    ds = nm.ASLDVS(root, train=None, data_type="event")
+    got, label = ds[0]
+    assert label == 0
+    np.testing.assert_array_equal(got["x"], ev["x"])  # flip applied
+    np.testing.assert_array_equal(got["y"], ev["y"])
+    np.testing.assert_array_equal(got["p"], ev["p"])
