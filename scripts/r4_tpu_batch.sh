@@ -57,7 +57,7 @@ timeout 14400 python -u -m spiking_diffusion_tpu.cli \
   > /tmp/r4/letters48.log 2>&1
 echo "rc=$?"; tail -4 /tmp/r4/letters48.log
 
-stage "7: snn-vae longer/annealed training characterization (VERDICT #4)"
+stage "7a: snn-vae characterization — annealed p, 96 epochs (VERDICT #4)"
 timeout 10800 python -u -m spiking_diffusion_tpu.cli \
   --dataset_name MNIST --model snn-vae --epochs 96 \
   --bf16 --batch_size 256 \
@@ -65,6 +65,16 @@ timeout 10800 python -u -m spiking_diffusion_tpu.cli \
   --frozen_metrics on --result_dir ./result_r4 --sample_dir ./sample_r4 \
   > /tmp/r4/snnvae.log 2>&1
 echo "rc=$?"; tail -4 /tmp/r4/snnvae.log
+
+stage "7b: snn-vae A/B — scheduled sampling OFF (reference-as-shipped p=0)"
+timeout 10800 python -u -m spiking_diffusion_tpu.cli \
+  --dataset_name MNIST --model snn-vae --epochs 96 --vae_scheduled_p off \
+  --bf16 --batch_size 256 \
+  --synthetic_train 60000 --synthetic_test 10240 --ref_size 8192 \
+  --frozen_metrics on --result_dir ./result_r4_vaeoff \
+  --sample_dir ./sample_r4_vaeoff \
+  > /tmp/r4/snnvae_off.log 2>&1
+echo "rc=$?"; tail -4 /tmp/r4/snnvae_off.log
 
 stage "8: serving latency with the speculative pipeline (VERDICT #7)"
 timeout 2400 python -u examples/serve.py \
