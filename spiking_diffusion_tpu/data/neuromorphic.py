@@ -64,6 +64,7 @@ __all__ = [
     "SpikingSpeechCommands",
     "NCaltech101",
     "ASLDVS",
+    "HARDVS",
 ]
 
 
@@ -920,6 +921,81 @@ class ASLDVS(EventDatasetFolder):
                     os.path.join(np_dir, out),
                     cls.load_origin_data(os.path.join(mat_dir, mat_file)),
                 )
+
+
+class HARDVS(EventDatasetFolder):
+    """HARDVS (260x346 DVS human-activity recordings, 300 action classes,
+    samples already stored as npz event files).
+
+    Parity target: ``datasets/hardvs.py`` — ``MINI_HARDVS_files.zip``
+    extracts to ``action_NNN/dvSave-*.npz``; ``{train,val,test}_label.txt``
+    list ``action_NNN/<sample>`` lines assigning samples to splits.
+    ``train`` accepts True / False / 'val'.
+    """
+
+    NUM_CLASSES = 300
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 260, 346
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://github.com/Event-AHU/HARDVS"
+        return [
+            ("MINI_HARDVS_files.zip", url,
+             "9c4cc0d9ba043faa17f6f1a9e9aff982"),
+            ("test_label.txt", url, "5b664af5843f9b476a9c22626f7f5a59"),
+            ("train_label.txt", url, "0d642b6e6871034f151b2649a89d8d3c"),
+            ("val_label.txt", url, "cd2cebcba80e4552102bbacf2b5df812"),
+        ]
+
+    def __init__(self, root: str, train=True, **kw) -> None:
+        # map the extra 'val' split onto the folder layout the converter
+        # writes (events_np/{train,val,test}/action_NNN/)
+        if train == "val":
+            events_root = os.path.join(root, "events_np", "val")
+            if not os.path.isdir(events_root):
+                raise FileNotFoundError(events_root)
+            # EventDatasetFolder has no third split slot; point a
+            # synthetic root at it via the train=None (splitless) mode
+            val_root = os.path.join(root, "_val_view")
+            link = os.path.join(val_root, "events_np")
+            if not os.path.isdir(link):
+                os.makedirs(val_root, exist_ok=True)
+                os.symlink(events_root, link)
+            super().__init__(val_root, train=None, **kw)
+        else:
+            super().__init__(root, train=train, **kw)
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        """Symlink the per-sample npz files into split/class folders per
+        the label lists (``datasets/hardvs.py:90-111``)."""
+        for prefix in ("train", "val", "test"):
+            target_dir = os.path.join(events_np_root, prefix)
+            os.makedirs(target_dir, exist_ok=True)
+            with open(
+                os.path.join(extract_root, f"{prefix}_label.txt")
+            ) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    class_name, sample = line.split(" ")[0].split("/")
+                    os.makedirs(
+                        os.path.join(target_dir, class_name), exist_ok=True
+                    )
+                    src = os.path.join(
+                        extract_root, class_name, sample + ".npz"
+                    )
+                    dst = os.path.join(
+                        target_dir, class_name, sample + ".npz"
+                    )
+                    if not os.path.exists(dst):
+                        os.symlink(src, dst)
 
 
 class SpikingHeidelbergDigits:

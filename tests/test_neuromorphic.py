@@ -471,3 +471,33 @@ def test_asl_dvs_mat_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["x"], ev["x"])  # flip applied
     np.testing.assert_array_equal(got["y"], ev["y"])
     np.testing.assert_array_equal(got["p"], ev["p"])
+
+
+def test_hardvs_label_file_flow(tmp_path):
+    """create_events_np_files from a fake extract tree (npz samples +
+    split label lists), including the 'val' split view."""
+    rng = np.random.RandomState(6)
+    extract = os.path.join(tmp_path, "extract")
+    lines = {"train": [], "val": [], "test": []}
+    for c in (1, 2):
+        cdir = os.path.join(extract, f"action_{c:03d}")
+        os.makedirs(cdir)
+        for i, split in enumerate(("train", "val", "test")):
+            name = f"dvSave-sample{i}"
+            ev = _rand_events(rng, n=50, H=260, W=346)
+            np.savez(os.path.join(cdir, name + ".npz"), **ev)
+            lines[split].append(f"action_{c:03d}/{name} {c}")
+    for split, ls in lines.items():
+        with open(os.path.join(extract, f"{split}_label.txt"), "w") as f:
+            f.write("\n".join(ls) + "\n")
+    root = os.path.join(tmp_path, "root")
+    nm.HARDVS.create_events_np_files(
+        extract, os.path.join(root, "events_np")
+    )
+    tr = nm.HARDVS(root, train=True, data_type="event")
+    te = nm.HARDVS(root, train=False, data_type="event")
+    va = nm.HARDVS(root, train="val", data_type="event")
+    assert len(tr) == len(te) == len(va) == 2
+    assert tr.classes == ["action_001", "action_002"]
+    ev, label = va[1]
+    assert label == 1 and set(ev) == {"t", "x", "y", "p"}
