@@ -65,6 +65,9 @@ __all__ = [
     "NCaltech101",
     "ASLDVS",
     "HARDVS",
+    "NAVGestureWalk",
+    "NAVGestureSit",
+    "load_atis_td_dat",
 ]
 
 
@@ -269,6 +272,42 @@ def integrate_by_fixed_duration(
         np.arange(m, dtype=np.int64), bounds[1:] - bounds[:-1]
     )
     return _scatter_frames(frame_idx, events, m, H, W)
+
+
+def load_atis_td_dat(file_name: str, orig_at_zero: bool = True) -> Events:
+    """ATIS ``_td.dat`` (NavGesture phone recordings) -> events.
+
+    '%'-prefixed header lines, then 1-byte event type + 1-byte event size
+    (must be 8), then little-endian u64 words: ts in the low 32 bits, x at
+    bit 32 (9 bits), y at 41 (8 bits), polarity at 49. Parity:
+    ``datasets/nav_gesture.py:12-178`` (``readATIS_tddat``), vectorized;
+    the reference's multi-pass negative-dt dropping is equivalent to
+    keeping the running-max-monotone subsequence, done here in one pass.
+    """
+    with open(file_name, "rb") as f:
+        header = False
+        while True:
+            pos = f.tell()
+            if f.read(1) != b"%":
+                f.seek(pos)
+                break
+            f.readline()
+            header = True
+        if header:
+            _ev_type = f.read(1)
+            ev_size = f.read(1)[0]
+            if ev_size != 8:
+                raise ValueError(f"unsupported event size {ev_size}")
+        data = np.frombuffer(f.read(), dtype="<u8")
+    t = (data & 0xFFFFFFFF).astype(np.int64)
+    x = ((data & 0x000001FF00000000) >> 32).astype(np.int64)
+    y = ((data & 0x0001FE0000000000) >> 41).astype(np.int64)
+    p = ((data & 0x0002000000000000) >> 49).astype(np.int64)
+    keep = t >= np.maximum.accumulate(t)  # drop negative-dt events
+    t, x, y, p = t[keep], x[keep], y[keep], p[keep]
+    if orig_at_zero and t.size:
+        t = t - t[0]
+    return {"t": t, "x": x, "y": y, "p": p}
 
 
 # ---------------------------------------------------------------------------
@@ -996,6 +1035,70 @@ class HARDVS(EventDatasetFolder):
                     )
                     if not os.path.exists(dst):
                         os.symlink(src, dst)
+
+
+class NAVGestureWalk(EventDatasetFolder):
+    """NavGesture-walk (240x304 ATIS phone recordings, 6 gesture classes:
+    le/ri/up/do/ho/se). Parity target ``datasets/nav_gesture.py:180-306``:
+    samples are ``user_<label>_*.dat`` files sorted into class folders by
+    the label token; no canonical split (``train=None``). The y axis is
+    flipped (``y' = 239 - y``) as the reference does.
+    """
+
+    LABELS = ("do", "ho", "le", "ri", "se", "up")
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 240, 304  # camera is 240x320 but x.max() == 303
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = ("https://www.neuromorphic-vision.com/public/downloads/"
+               "navgesture/")
+        return [("navgesture-walk.zip", url,
+                 "5d305266f13005401959e819abe206f0")]
+
+    @staticmethod
+    def load_origin_data(file_name: str) -> Events:
+        ev = load_atis_td_dat(file_name)
+        return {"t": ev["t"], "x": ev["x"], "y": 239 - ev["y"],
+                "p": ev["p"]}
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        """``extract/<user>/user_<label>_*.dat`` ->
+        ``events_np/<label>/*.npz`` (``nav_gesture.py:276-306``)."""
+        for label in cls.LABELS:
+            os.makedirs(
+                os.path.join(events_np_root, label), exist_ok=True
+            )
+        for user in sorted(os.listdir(extract_root)):
+            udir = os.path.join(extract_root, user)
+            if not os.path.isdir(udir):
+                continue
+            for fname in sorted(os.listdir(udir)):
+                if not fname.endswith(".dat"):
+                    continue
+                base = os.path.splitext(fname)[0]
+                label = base.split("_")[1]
+                _save_events(
+                    os.path.join(events_np_root, label, base + ".npz"),
+                    cls.load_origin_data(os.path.join(udir, fname)),
+                )
+
+
+class NAVGestureSit(NAVGestureWalk):
+    """NavGesture-sit — same format/classes, seated recordings
+    (``datasets/nav_gesture.py:307-339``)."""
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = ("https://www.neuromorphic-vision.com/public/downloads/"
+               "navgesture/")
+        return [("navgesture-sit.zip", url,
+                 "1571753ace4d9e0946e6503313712c22")]
 
 
 class SpikingHeidelbergDigits:

@@ -501,3 +501,58 @@ def test_hardvs_label_file_flow(tmp_path):
     assert tr.classes == ["action_001", "action_002"]
     ev, label = va[1]
     assert label == 1 and set(ev) == {"t", "x", "y", "p"}
+
+
+def test_atis_td_dat_roundtrip_and_negative_dt_drop(tmp_path):
+    """Pack the NavGesture ATIS _td.dat u64 layout, parse, verify the
+    bit extraction, zero-origin shift, and negative-dt filtering."""
+    rng = np.random.RandomState(8)
+    n = 200
+    t = np.sort(rng.randint(1000, 50_000, n)).astype(np.uint64)
+    x = rng.randint(0, 304, n).astype(np.uint64)
+    y = rng.randint(0, 240, n).astype(np.uint64)
+    p = rng.randint(0, 2, n).astype(np.uint64)
+    words = t | (x << 32) | (y << 41) | (p << 49)
+    # corrupt one timestamp backwards: must be dropped
+    words[50] = (np.uint64(10)) | (x[50] << 32) | (y[50] << 41) | (p[50] << 49)
+    path = os.path.join(tmp_path, "user01_le_1.dat")
+    with open(path, "wb") as f:
+        f.write(b"% header line\n% another\n")
+        f.write(bytes([0, 8]))  # ev_type, ev_size
+        f.write(words.astype("<u8").tobytes())
+    got = nm.load_atis_td_dat(path)
+    keep = np.ones(n, bool)
+    keep[50] = False
+    np.testing.assert_array_equal(got["t"], (t[keep] - t[0]).astype(np.int64))
+    np.testing.assert_array_equal(got["x"], x[keep].astype(np.int64))
+    np.testing.assert_array_equal(got["y"], y[keep].astype(np.int64))
+    np.testing.assert_array_equal(got["p"], p[keep].astype(np.int64))
+
+
+def test_navgesture_folder_flow(tmp_path):
+    rng = np.random.RandomState(9)
+    extract = os.path.join(tmp_path, "extract")
+    for user in ("user01", "user02"):
+        udir = os.path.join(extract, user)
+        os.makedirs(udir)
+        for label in ("le", "up"):
+            n = 100
+            t = np.sort(rng.randint(0, 10_000, n)).astype(np.uint64)
+            x = rng.randint(0, 304, n).astype(np.uint64)
+            y = rng.randint(0, 240, n).astype(np.uint64)
+            p = rng.randint(0, 2, n).astype(np.uint64)
+            words = (t | (x << 32) | (y << 41) | (p << 49)).astype("<u8")
+            with open(os.path.join(
+                    udir, f"{user}_{label}_0.dat"), "wb") as f:
+                f.write(b"% h\n" + bytes([0, 8]) + words.tobytes())
+    root = os.path.join(tmp_path, "root")
+    nm.NAVGestureWalk.create_events_np_files(
+        extract, os.path.join(root, "events_np")
+    )
+    ds = nm.NAVGestureWalk(root, train=None, data_type="event")
+    # all 6 label dirs exist; only le/up have samples
+    assert ds.classes == sorted(nm.NAVGestureWalk.LABELS)
+    assert len(ds) == 4
+    ev, label = ds[0]
+    assert ds.classes[label] in ("le", "up")
+    assert ev["y"].max() <= 239  # flip applied within range
