@@ -68,6 +68,8 @@ __all__ = [
     "NAVGestureWalk",
     "NAVGestureSit",
     "load_atis_td_dat",
+    "ESImageNet",
+    "load_es_imagenet_events",
 ]
 
 
@@ -1099,6 +1101,70 @@ class NAVGestureSit(NAVGestureWalk):
                "navgesture/")
         return [("navgesture-sit.zip", url,
                  "1571753ace4d9e0946e6503313712c22")]
+
+
+def load_es_imagenet_events(fname: str) -> Events:
+    """ES-ImageNet per-sample npz (``pos``/``neg`` arrays of (y, x, t)
+    rows) -> merged, time-sorted events (``datasets/es_imagenet.py:9-23``)."""
+    with np.load(fname) as z:
+        e_pos, e_neg = z["pos"], z["neg"]
+    pos = np.hstack([e_pos, np.ones((e_pos.shape[0], 1))])
+    neg = np.hstack([e_neg, np.zeros((e_neg.shape[0], 1))])
+    ev = np.vstack([pos, neg])
+    ev = ev[np.argsort(ev[:, 2], kind="stable")]
+    return {
+        "x": ev[:, 1].astype(np.int64),
+        "y": ev[:, 0].astype(np.int64),
+        "t": ev[:, 2].astype(np.int64),
+        "p": ev[:, 3].astype(np.int64),
+    }
+
+
+class ESImageNet(EventDatasetFolder):
+    """ES-ImageNet (256x256 event-converted ImageNet, ~1.3M samples).
+
+    Parity target ``datasets/es_imagenet.py``: samples ship as npz files
+    with ``pos``/``neg`` (y, x, t) event lists; the converter symlinks the
+    extracted class tree into ``events_np/{train,test}``. The event loader
+    merges polarities and time-sorts (:func:`load_es_imagenet_events`).
+    """
+
+    @staticmethod
+    def get_H_W() -> Tuple[int, int]:
+        return 256, 256
+
+    @staticmethod
+    def resource_url_md5() -> list:
+        url = "https://cloud.tsinghua.edu.cn/d/94873ab4ec2a4eb497b3/"
+        return [(f"ES-imagenet-0.18.part{i:02d}.rar", url, "") for i in
+                range(1, 11)]
+
+    def __init__(self, root: str, train: bool = True, **kw) -> None:
+        super().__init__(root, train=train, **kw)
+        if kw.get("data_type", "event") == "event":
+            self._loader = load_es_imagenet_events
+
+    @classmethod
+    def create_events_np_files(
+        cls, extract_root: str, events_np_root: str
+    ) -> None:
+        """Symlink ``extract/ES-imagenet-0.18/{train,val}`` class trees to
+        ``events_np/{train,test}`` (``es_imagenet.py:170-194``)."""
+        for src_split, dst_split in (("train", "train"), ("val", "test")):
+            src_root = os.path.join(
+                extract_root, "ES-imagenet-0.18", src_split
+            )
+            if not os.path.isdir(src_root):
+                continue
+            dst_root = os.path.join(events_np_root, dst_split)
+            for class_dir in sorted(os.listdir(src_root)):
+                sdir = os.path.join(src_root, class_dir)
+                ddir = os.path.join(dst_root, class_dir)
+                os.makedirs(ddir, exist_ok=True)
+                for sample in sorted(os.listdir(sdir)):
+                    dst = os.path.join(ddir, sample)
+                    if not os.path.exists(dst):
+                        os.symlink(os.path.join(sdir, sample), dst)
 
 
 class SpikingHeidelbergDigits:

@@ -556,3 +556,27 @@ def test_navgesture_folder_flow(tmp_path):
     ev, label = ds[0]
     assert ds.classes[label] in ("le", "up")
     assert ev["y"].max() <= 239  # flip applied within range
+
+
+def test_es_imagenet_loader_and_folder(tmp_path):
+    rng = np.random.RandomState(10)
+    extract = os.path.join(tmp_path, "extract", "ES-imagenet-0.18")
+    for split in ("train", "val"):
+        cdir = os.path.join(extract, split, "n01440764")
+        os.makedirs(cdir)
+        pos = np.stack([rng.randint(0, 256, 60), rng.randint(0, 256, 60),
+                        rng.randint(0, 1000, 60)], axis=1)
+        neg = np.stack([rng.randint(0, 256, 40), rng.randint(0, 256, 40),
+                        rng.randint(0, 1000, 40)], axis=1)
+        np.savez(os.path.join(cdir, "sample0.npz"), pos=pos, neg=neg)
+    root = os.path.join(tmp_path, "root")
+    nm.ESImageNet.create_events_np_files(
+        os.path.join(tmp_path, "extract"), os.path.join(root, "events_np")
+    )
+    ds = nm.ESImageNet(root, train=True, data_type="event")
+    ev, label = ds[0]
+    assert label == 0 and len(ev["t"]) == 100
+    assert (np.diff(ev["t"]) >= 0).all()  # time-sorted after merge
+    assert ev["p"].sum() == 60  # pos events carry p=1
+    ds_test = nm.ESImageNet(root, train=False, data_type="event")
+    assert len(ds_test) == 1
