@@ -1,8 +1,10 @@
 """Example: spiking image classification with the SNN runtime.
 
 The analogue of spikingjelly's MNIST classification examples
-(``activation_based/examples/``): direct-coded input, a small spiking
-conv net (PLIF net from the model zoo), AdamW on rate-decoded logits.
+(``activation_based/examples/lif_fc_mnist.py`` /
+``conv_fashion_mnist.py`` via --dataset_name FMNIST): direct-coded
+input, a small spiking conv net (PLIF net from the model zoo), AdamW on
+rate-decoded logits.
 
     python examples/classify_mnist.py [--epochs 3] [--data_path DIR]
 """
@@ -28,9 +30,12 @@ def main():
     p.add_argument("--num_steps", type=int, default=4)
     p.add_argument("--data_path", default=None)
     p.add_argument("--channels", type=int, default=32)
+    p.add_argument("--dataset_name", default="MNIST",
+                   help="MNIST | FMNIST | KMNIST | Letters | CIFAR10-BW "
+                        "(FMNIST = the conv_fashion_mnist example)")
     args = p.parse_args()
 
-    ds = load_dataset("MNIST", args.data_path)
+    ds = load_dataset(args.dataset_name, args.data_path)
     print(f"dataset: {ds.name} (synthetic={ds.synthetic})")
 
     model = zoo.PLIFNet(channels=args.channels, num_classes=ds.num_classes)
