@@ -10,7 +10,7 @@ transpose.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import numpy as np
 
