@@ -190,6 +190,21 @@ def main():
 
     import numpy as np
 
+    # Guard: this benchmark's number is only meaningful on TPU. If the axon
+    # plugin failed and jax silently fell back to CPU, a "valid" JSON line
+    # at ~0.5 img/s would be banked as the round's driver-verified number
+    # (observed: BENCH_EXTRAS.json 0.49 img/s from a wedged-tunnel run).
+    # Refuse loudly instead; BENCH_ALLOW_CPU=1 overrides for local testing.
+    backend = jax.default_backend()
+    print(f"bench: jax backend = {backend}", file=sys.stderr, flush=True)
+    if backend != "tpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        print(
+            "bench: refusing to run on non-TPU backend (set "
+            "BENCH_ALLOW_CPU=1 to override)",
+            file=sys.stderr, flush=True,
+        )
+        sys.exit(3)
+
     t_start = time.perf_counter()
     # wall budget for OPTIONAL extras (batch-16 latency, energy): they run
     # only if the headline finished with this much slack left. The headline
