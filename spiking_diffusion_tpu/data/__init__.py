@@ -27,6 +27,7 @@ from spiking_diffusion_tpu.data.extra_datasets import (
     load_notmnist,
     mnist_square,
 )
+from spiking_diffusion_tpu.data.audio import SpeechCommands, load_wav
 from spiking_diffusion_tpu.data.neuromorphic import (
     CIFAR10DVS,
     DVS128Gesture,
@@ -59,4 +60,6 @@ __all__ = [
     "load_aedat_v3",
     "load_atis_bin",
     "load_jaer_dat",
+    "SpeechCommands",
+    "load_wav",
 ]

@@ -37,6 +37,11 @@ def gaussian_tuning_encode(
 
     x: (..., F) -> spike times (..., F, n_neurons).
     """
+    if n_neurons <= 2:
+        raise ValueError(
+            f"gaussian_tuning_encode needs n_neurons > 2 (got {n_neurons}): "
+            "the reference tuning-curve spacing divides by (m - 2)"
+        )
     i = jnp.arange(1, n_neurons + 1, dtype=jnp.float32)
     mu = x_min + (2 * i - 3) / 2 * (x_max - x_min) / (n_neurons - 2)
     sigma = (x_max - x_min) / (1.5 * (n_neurons - 2))

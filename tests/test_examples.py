@@ -115,3 +115,32 @@ def test_serve_example_generator(tmp_path):
     stats = gen.bench(requests=2, temperature=0.8)
     assert stats["batch"] == 4 and stats["p50_s"] > 0
     assert stats["images_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_rl_ppo_example(capsys):
+    _run("examples/rl_cartpole_ppo.py",
+         ["--rollouts", "2", "--n_steps", "8", "--ppo_epochs", "1",
+          "--minibatch", "16", "--hidden", "16", "--eval_every", "99"])
+    out = capsys.readouterr().out
+    assert "final eval reward" in out
+
+
+@pytest.mark.slow
+def test_tempotron_example(capsys):
+    _run("examples/tempotron_mnist.py",
+         ["--epochs", "1", "--train_size", "256", "--test_size", "128",
+          "-m", "4", "-T", "16"])
+    out = capsys.readouterr().out
+    accs = [float(l.rsplit(" ", 1)[1]) for l in out.splitlines()
+            if l.startswith("epoch ")]
+    assert len(accs) == 1 and 0.0 <= accs[0] <= 1.0
+
+
+@pytest.mark.slow
+def test_speechcommands_example(capsys):
+    _run("examples/speechcommands_kws.py",
+         ["--epochs", "2", "--channels", "4", "--batch_size", "4",
+          "--steps_per_epoch", "2"])
+    out = capsys.readouterr().out
+    assert "test_acc" in out
