@@ -64,6 +64,8 @@ def main():
         # int8 where MXU time halved and VPU/MXU overlap matters more
         ("xyrow", 16, jnp.int8, 2),
         ("xy", 16, jnp.int8, 2),
+        ("xyrow", 16, jnp.int8, 4),
+        ("xy", 16, jnp.int8, 4),
     ]:
         old = fused_denoiser._CONV_MODE
         old_il = fused_denoiser._INTERLEAVE

@@ -142,14 +142,27 @@ _UNROLL_FACTOR = int(_os.environ.get("SD_FUSED_UNROLL", "1"))
 # = 6.1 MXU tiles vs 3.1, fewer grid iterations), 24 -> 337.0 (VMEM
 # pressure kills it), 32 -> Mosaic compile failure. 16 is the default.
 _BLOCK_N = int(_os.environ.get("SD_FUSED_BLOCK_N", "16"))
-# int8 weight-quantization clip percentile (None = per-channel max)
+# int8 weight-quantization clip percentile (None = per-channel max).
+# Measured on the r3 flagship checkpoint (scripts/analyze_int8_quant.py):
+# clipping is a NET LOSS here — 99.9th-pct scaling makes the relative RMS
+# weight error 3.9x WORSE (the folded weights have no outlier tail to
+# sacrifice), so the knob stays None by default.
 _INT8_CLIP_PCT = (
     float(_os.environ["SD_INT8_CLIP_PCT"])
     if _os.environ.get("SD_INT8_CLIP_PCT") else None
 )
-_INTERLEAVE = 1  # sub-tile interleaving measured SLOWER (525 -> 508 img/s end-to-end:
+# int8 scale granularity: 'row' = one dequant scale per kernel-row dy
+# (3 per output channel) — 0.75x the weight-rounding error of per-cout
+# on the r3 checkpoint for 2 extra (R, Cout) VPU multiplies per conv
+# (the xyrow kernel already holds the three v[dy] partials separately);
+# 'cout' = the round-3 single per-output-channel scale.
+_INT8_SCALES = _os.environ.get("SD_INT8_SCALES", "row")
+# sub-tile interleaving: SLOWER in bf16 (525 -> 508 img/s end-to-end —
 # half tiles of 196 rows lose more MXU M-tiling efficiency than VPU/MXU
-# overlap gains); kept as an experiment knob
+# overlap gains) but a ~3% win at int8 where MXU time is halved and
+# VPU/MXU overlap matters more (r4 ladder: xyrow/16/int8 68.7 ->
+# 67.0 ms/fwd at il2). Env override for on-hardware A/Bs.
+_INTERLEAVE = int(_os.environ.get("SD_FUSED_INTERLEAVE", "1"))
 
 
 def _conv3x3(x, w_ref, b_ref, masks, hw: int):
@@ -177,10 +190,11 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
     if quant:
         # int8 mode: spikes are EXACTLY {0, 1}, so int8 spike x int8
         # weight with int32 accumulation is exact on the activation side
-        # — the only quantization error is the per-output-channel weight
-        # rounding (scale = max|w|/127). b_ref arrives packed (2, Cout):
-        # row 0 = fp32 bias, row 1 = dequant scale. The v5e MXU runs
-        # int8 at ~2x bf16 throughput.
+        # — the only quantization error is the symmetric weight rounding.
+        # b_ref arrives packed: row 0 = fp32 bias, then the dequant
+        # scale rows — (2, Cout) for one per-cout scale, (4, Cout) for
+        # per-kernel-row scales (_INT8_SCALES='row', the default). The
+        # v5e MXU runs int8 at ~2x bf16 throughput.
         if _CONV_MODE not in ("xyrow", "xy"):
             raise NotImplementedError("int8 conv: 'xyrow'/'xy' modes only")
         xmask_m, xmask_p, ymask_m, ymask_p = masks
@@ -212,11 +226,25 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
                     )
                     acc = d if acc is None else acc + d
                 v.append(acc)
+        bias = b_ref[0:1].astype(jnp.float32)
+        if b_ref.shape[0] == 4:
+            # per-kernel-row scales ('row' granularity): dequantize each
+            # dy partial with its own scale, combine in fp32. int32->f32
+            # casts are exact (|v| < 2^24) and the mirror replicates this
+            # add order bit-for-bit.
+            s = b_ref[1:4].astype(jnp.float32)
+            f = [v[dy].astype(jnp.float32) * s[dy:dy + 1] for dy in range(3)]
+            out = f[1]
+            zf = jnp.zeros_like(out)
+            out = out + jnp.where(ymask_m, _row_roll(f[0], -hw), zf)
+            out = out + jnp.where(ymask_p, _row_roll(f[2], hw), zf)
+            return out + bias
+        # single per-cout scale: combine in int32 (associative-exact),
+        # one dequant at the end
         out = v[1]
         zi = jnp.zeros_like(out)
         out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zi)
         out = out + jnp.where(ymask_p, _row_roll(v[2], hw), zi)
-        bias = b_ref[0:1].astype(jnp.float32)
         scale = b_ref[1:2].astype(jnp.float32)
         return out.astype(jnp.float32) * scale + bias
     bias = jnp.broadcast_to(b_ref[...].astype(jnp.float32), (r, cout))
@@ -397,6 +425,19 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
         # cost of clipping outliers; the mirror shares this path, so
         # parity tests hold under either quantizer.
         aw = jnp.abs(w)
+        if _INT8_SCALES == "row":
+            # one scale per kernel-row dy: w is (3, 3Cin, Cout) in xyrow
+            # or (9, Cin, Cout) tap-major elsewhere — reshape(3, ...)
+            # groups by dy in both layouts (taps are dy-major)
+            g = aw.reshape(3, -1, w.shape[-1])
+            if _INT8_CLIP_PCT is not None:
+                amax = jnp.percentile(g, _INT8_CLIP_PCT, axis=1)
+            else:
+                amax = jnp.max(g, axis=1)
+            s = jnp.maximum(amax / 127.0, 1e-12)  # (3, Cout)
+            s_full = jnp.repeat(s, w.shape[0] // 3, axis=0)[:, None, :]
+            wq = jnp.clip(jnp.round(w / s_full), -127, 127).astype(jnp.int8)
+            return wq, s
         if _INT8_CLIP_PCT is not None:
             amax = jnp.percentile(aw.reshape(-1, w.shape[-1]),
                                   _INT8_CLIP_PCT, axis=0)
@@ -407,8 +448,9 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
         return wq, s.reshape(1, -1)
 
     def pack_b(b, s):
-        # int8 mode packs (bias, dequant-scale) as a (2, Cout) operand so
-        # the kernel's (W, b) arg pairing is dtype-agnostic
+        # int8 mode packs (bias, dequant-scale rows) as a (1+k, Cout)
+        # operand (k=1 per-cout, k=3 per-row) so the kernel's (W, b) arg
+        # pairing is dtype-agnostic
         b = jnp.asarray(b, jnp.float32).reshape(1, -1)
         return jnp.concatenate([b, s], axis=0) if s is not None else b
 
@@ -624,19 +666,30 @@ def mirror_denoise_fn(
 
     def conv(x, w, b, masks):
         if quant:
-            # exact int32 tap accumulation then one dequant — integer
-            # adds are associative, so this matches the kernel's xyrow
-            # int8 path bit-for-bit regardless of summation order
-            acc = None
-            for k in range(9):
-                dy, dx = k // 3 - 1, k % 3 - 1
-                xs = _row_roll(x, dy * hw + dx)
-                xm = jnp.where(masks[k], xs, jnp.zeros_like(xs))
-                d = jax.lax.dot_general(
-                    xm, w[k], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                acc = d if acc is None else acc + d
+            # exact int32 tap accumulation per kernel-row dy. Integer adds
+            # are associative, so each dy-group sum matches the kernel's
+            # v[dy] bit-for-bit; the dequant-and-combine below replicates
+            # the kernel's fp32 op order exactly (center, top, bottom,
+            # bias) so parity stays bitwise under per-row scales too.
+            accs = []
+            for dy in range(3):
+                acc = None
+                for dx in range(3):
+                    k = dy * 3 + dx
+                    xs = _row_roll(x, (dy - 1) * hw + (dx - 1))
+                    xm = jnp.where(masks[k], xs, jnp.zeros_like(xs))
+                    d = jax.lax.dot_general(
+                        xm, w[k], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = d if acc is None else acc + d
+                accs.append(acc)
+            if b.shape[0] == 4:  # per-row scales
+                out = accs[1].astype(jnp.float32) * b[2:3]
+                out = out + accs[0].astype(jnp.float32) * b[1:2]
+                out = out + accs[2].astype(jnp.float32) * b[3:4]
+                return out + b[0:1]
+            acc = (accs[0] + accs[1]) + accs[2]
             return acc.astype(jnp.float32) * b[1:2] + b[0:1]
         racc = jnp.broadcast_to(
             b.astype(jnp.float32), (x.shape[0], w.shape[2])

@@ -2,10 +2,13 @@
 
 Spikes are exactly {0, 1}, so int8 spike x int8 weight with int32
 accumulation is exact on the activation side; the only approximation is
-the symmetric per-output-channel weight rounding (scale = max|w|/127).
+the symmetric weight rounding (default granularity: one scale per
+kernel-row dy and output channel — 0.75x the rounding error of a single
+per-cout scale on the r3 flagship weights, scripts/analyze_int8_quant.py).
 Oracle chain:
   1. Pallas int8 kernel (interpret on CPU) vs the jnp int8 mirror — the
-     integer tap sums are associative-exact, so this is TIGHT;
+     per-dy integer tap sums are associative-exact and the mirror
+     replicates the kernel's fp32 dequant-combine order, so this is TIGHT;
   2. int8 mirror vs fp32 mirror — quantization tolerance (loose) plus an
      argmax-agreement check (what the categorical sampler consumes).
 """
@@ -99,6 +102,58 @@ def test_int8_clip_quantizer_parity():
         )
     finally:
         fused_denoiser._INT8_CLIP_PCT = old
+
+
+def test_int8_cout_scales_parity():
+    """Legacy per-cout scale granularity (SD_INT8_SCALES=cout): the
+    (2, Cout) pack takes the int32-combine-then-dequant kernel path —
+    exact parity must hold there too."""
+    _, variables = _trained_variables(seed=6)
+    x, t = _batch(n=8, seed=17)
+    old = fused_denoiser._INT8_SCALES
+    fused_denoiser._INT8_SCALES = "cout"
+    try:
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                                  dtype=jnp.int8)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.int8, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._INT8_SCALES = old
+
+
+def test_int8_row_scales_reduce_weight_error():
+    """The default 'row' granularity must never be worse than 'cout' on
+    the actual folded weights (it refines the same scale axis)."""
+    _, variables = _trained_variables(seed=8)
+    n_l = len(CFG.denoiser_channels)
+    old = fused_denoiser._INT8_SCALES
+    errs = {}
+    for mode in ("row", "cout"):
+        fused_denoiser._INT8_SCALES = mode
+        try:
+            _, _, ws, bs, kf, bf = fused_denoiser._extract_folded_weights(
+                variables, n_l, jnp.int8, conv_mode="taps"
+            )
+            _, _, wf, bf32, kf32, bff = fused_denoiser._extract_folded_weights(
+                variables, n_l, jnp.float32, conv_mode="taps"
+            )
+        finally:
+            fused_denoiser._INT8_SCALES = old
+        tot = 0.0
+        for wq, b, w in zip(ws + [kf], bs + [bf], wf + [kf32]):
+            s = np.asarray(b)[1:]  # (1|3, Cout)
+            s_full = np.repeat(s, 9 // s.shape[0], axis=0)[:, None, :]
+            deq = np.asarray(wq, np.float32) * s_full
+            w = np.asarray(w, np.float32)
+            tot += float(np.linalg.norm(deq - w) / np.linalg.norm(w))
+        errs[mode] = tot
+    assert errs["row"] <= errs["cout"] * (1 + 1e-6), errs
 
 
 def test_int8_mirror_tracks_fp32_mirror():
