@@ -52,27 +52,43 @@ def main():
     t = jax.random.randint(kt, (BATCH,), 1, cfg.num_timesteps + 1, jnp.int32)
 
     ref = None
-    for mode, block_n, dtype, inter in [
-        ("xyrow", 16, jnp.bfloat16, 1),   # round-3 bf16 baseline
-        ("xyrow", 8, jnp.int8, 1),
-        ("xyrow", 16, jnp.int8, 1),
-        ("xyrow", 24, jnp.int8, 1),
-        ("xyrow", 32, jnp.int8, 1),
-        ("xy", 16, jnp.int8, 1),
-        ("xy", 32, jnp.int8, 1),
+    for mode, block_n, dtype, inter, scales, ablate in [
+        ("xyrow", 16, jnp.bfloat16, 1, "row", ""),   # round-3 bf16 baseline
+        ("xyrow", 8, jnp.int8, 1, "row", ""),
+        ("xyrow", 16, jnp.int8, 1, "row", ""),
+        # per-cout dequant scales (the round-3 quantizer): isolates the
+        # perf cost of the per-kernel-row dequant (2 extra VPU muls/conv)
+        ("xyrow", 16, jnp.int8, 1, "cout", ""),
+        ("xyrow", 24, jnp.int8, 1, "row", ""),
+        ("xyrow", 32, jnp.int8, 1, "row", ""),
+        ("xy", 16, jnp.int8, 1, "row", ""),
+        ("xy", 32, jnp.int8, 1, "row", ""),
         # sub-tile interleave: negative in bf16 (MXU-bound), retest at
         # int8 where MXU time halved and VPU/MXU overlap matters more
-        ("xyrow", 16, jnp.int8, 2),
-        ("xy", 16, jnp.int8, 2),
-        ("xyrow", 16, jnp.int8, 4),
-        ("xy", 16, jnp.int8, 4),
+        ("xyrow", 16, jnp.int8, 2, "row", ""),
+        ("xy", 16, jnp.int8, 2, "row", ""),
+        ("xyrow", 16, jnp.int8, 4, "row", ""),
+        ("xy", 16, jnp.int8, 4, "row", ""),
+        # ROOFLINE ABLATIONS (numerically wrong output, agree skipped):
+        # quantify the VPU wall of the VPU-bound int8 kernel by deleting
+        # op classes — full-minus-ablated = the cost of that op class
+        ("xyrow", 16, jnp.int8, 1, "row", "nolif"),
+        ("xyrow", 16, jnp.int8, 1, "row", "noshift"),
+        ("xyrow", 16, jnp.int8, 1, "row", "matmul"),
+        ("xyrow", 16, jnp.bfloat16, 1, "row", "matmul"),
     ]:
         old = fused_denoiser._CONV_MODE
         old_il = fused_denoiser._INTERLEAVE
+        old_sc = fused_denoiser._INT8_SCALES
+        old_ab = fused_denoiser._ABLATE
         fused_denoiser._CONV_MODE = mode
         fused_denoiser._INTERLEAVE = inter
+        fused_denoiser._INT8_SCALES = scales
+        fused_denoiser._ABLATE = ablate
         name = f"{mode}/{block_n}/{np.dtype(dtype).name}" + (
-            f"/il{inter}" if inter > 1 else "")
+            f"/il{inter}" if inter > 1 else "") + (
+            "/scout" if scales == "cout" else "") + (
+            f"/AB:{ablate}" if ablate else "")
         try:
             fd = jax.jit(fused_denoiser.make_fused_denoise_fn(
                 variables, cfg, dtype=dtype, block_n=block_n
@@ -85,8 +101,15 @@ def main():
         finally:
             fused_denoiser._CONV_MODE = old
             fused_denoiser._INTERLEAVE = old_il
+            fused_denoiser._INT8_SCALES = old_sc
+            fused_denoiser._ABLATE = old_ab
         if ref is None:
             ref = out
+        if ablate:
+            print(f"{name:22s}: {dt*1e3:7.2f} ms/fwd "
+                  f"({BATCH/dt:9.0f} tok-maps/s)  [ABLATED — wrong output]",
+                  flush=True)
+            continue
         agree = np.isclose(out, ref, atol=0.05, rtol=0.05).mean()
         print(f"{name:22s}: {dt*1e3:7.2f} ms/fwd "
               f"({BATCH/dt:9.0f} tok-maps/s)  agree(5%)={agree:.4f}",

@@ -73,6 +73,9 @@ def _lif_step(v, a, p: NeuronParams, dtype):
     kernel must not trace through Pallas); the charge/fire/reset math
     below mirrors it exactly (tests/test_fused_denoiser.py locks parity).
     """
+    if _ABLATE in ("nolif", "matmul"):
+        # roofline ablation: threshold-only spiking, no membrane state
+        return v, (a >= p.v_threshold).astype(dtype)
     if p.decay_input:
         h = v + (a - (v - p.v_reset)) * p.decay
     else:
@@ -163,6 +166,18 @@ _INT8_SCALES = _os.environ.get("SD_INT8_SCALES", "row")
 # VPU/MXU overlap matters more (r4 ladder: xyrow/16/int8 68.7 ->
 # 67.0 ms/fwd at il2). Env override for on-hardware A/Bs.
 _INTERLEAVE = int(_os.environ.get("SD_FUSED_INTERLEAVE", "1"))
+# ROOFLINE ABLATIONS — benchmarking only, the output is numerically WRONG.
+# Quantifies the VPU wall of the (measured) VPU-bound int8 kernel by
+# deleting op classes while keeping shapes/dtypes/loop structure:
+#   'nolif'   — LIF recurrence -> threshold-only spike (1 compare+cast;
+#               removes the charge/fire/reset chain and the carried v)
+#   'noshift' — all roll+select traffic removed (taps read unshifted x,
+#               kernel-row partials summed without the y re-align)
+#   'matmul'  — both: the pure MXU + dequant floor
+# Guarded: make_fused_denoise_fn refuses to build silently (stderr warn).
+_ABLATE = _os.environ.get("SD_FUSED_ABLATE", "")
+if _ABLATE not in ("", "nolif", "noshift", "matmul"):
+    raise ValueError(f"SD_FUSED_ABLATE={_ABLATE!r} not in nolif/noshift/matmul")
 
 
 def _conv3x3(x, w_ref, b_ref, masks, hw: int):
@@ -198,9 +213,13 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
         if _CONV_MODE not in ("xyrow", "xy"):
             raise NotImplementedError("int8 conv: 'xyrow'/'xy' modes only")
         xmask_m, xmask_p, ymask_m, ymask_p = masks
-        zero = jnp.zeros_like(x)
-        u_m = jnp.where(xmask_m, _row_roll(x, -1), zero)
-        u_p = jnp.where(xmask_p, _row_roll(x, 1), zero)
+        noshift = _ABLATE in ("noshift", "matmul")
+        if noshift:
+            u_m = u_p = x  # roofline ablation: unshifted taps
+        else:
+            zero = jnp.zeros_like(x)
+            u_m = jnp.where(xmask_m, _row_roll(x, -1), zero)
+            u_p = jnp.where(xmask_p, _row_roll(x, 1), zero)
         if _CONV_MODE == "xyrow":
             big = jnp.concatenate([u_m, x, u_p], axis=-1)
             v = [
@@ -234,6 +253,8 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
             # add order bit-for-bit.
             s = b_ref[1:4].astype(jnp.float32)
             f = [v[dy].astype(jnp.float32) * s[dy:dy + 1] for dy in range(3)]
+            if noshift:  # roofline ablation: no y re-align
+                return f[0] + f[1] + f[2] + bias
             out = f[1]
             zf = jnp.zeros_like(out)
             out = out + jnp.where(ymask_m, _row_roll(f[0], -hw), zf)
@@ -241,21 +262,28 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
             return out + bias
         # single per-cout scale: combine in int32 (associative-exact),
         # one dequant at the end
+        scale = b_ref[1:2].astype(jnp.float32)
+        if noshift:  # roofline ablation: no y re-align
+            out = v[0] + v[1] + v[2]
+            return out.astype(jnp.float32) * scale + bias
         out = v[1]
         zi = jnp.zeros_like(out)
         out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zi)
         out = out + jnp.where(ymask_p, _row_roll(v[2], hw), zi)
-        scale = b_ref[1:2].astype(jnp.float32)
         return out.astype(jnp.float32) * scale + bias
     bias = jnp.broadcast_to(b_ref[...].astype(jnp.float32), (r, cout))
     if _CONV_MODE in ("xy", "xyrow"):
         xmask_m, xmask_p, ymask_m, ymask_p = masks
-        zero = jnp.zeros_like(x)
-        u = {
-            -1: jnp.where(xmask_m, _row_roll(x, -1), zero),
-            0: x,
-            1: jnp.where(xmask_p, _row_roll(x, 1), zero),
-        }
+        noshift = _ABLATE in ("noshift", "matmul")
+        if noshift:
+            u = {-1: x, 0: x, 1: x}  # roofline ablation: unshifted taps
+        else:
+            zero = jnp.zeros_like(x)
+            u = {
+                -1: jnp.where(xmask_m, _row_roll(x, -1), zero),
+                0: x,
+                1: jnp.where(xmask_p, _row_roll(x, 1), zero),
+            }
         if _CONV_MODE == "xyrow":
             # kernel-row matmuls: one (R, 3Cin) x (3Cin, Cout) per dy —
             # 3 wide MXU ops instead of 9 narrow ones (weights arrive
@@ -277,6 +305,8 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
                     )
                     acc = d if acc is None else acc + d
                 v.append(acc)
+        if noshift:  # roofline ablation: no y re-align
+            return bias + v[0] + v[1] + v[2]
         out = bias + v[1]
         zf = jnp.zeros_like(v[1])
         out = out + jnp.where(ymask_m, _row_roll(v[0], -hw), zf)
@@ -551,6 +581,14 @@ def make_fused_denoise_apply(
     """
     if interpret is None:
         interpret = _INTERPRET
+    if _ABLATE:
+        import sys as _sys
+
+        print(
+            f"fused_denoiser: SD_FUSED_ABLATE={_ABLATE} — ROOFLINE MODE, "
+            "output is numerically WRONG (benchmark only)",
+            file=_sys.stderr, flush=True,
+        )
     block_n = _BLOCK_N if block_n is None else block_n
     hw = cfg.latent_size
     channels = tuple(cfg.denoiser_channels)
