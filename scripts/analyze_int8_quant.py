@@ -98,6 +98,21 @@ def main():
         m = np.mean(tot[name])
         print(f"  {name:22s}: {m:.5f}  ({m/base:5.3f}x of ship)")
 
+    # mixed-precision prediction (SD_INT8_LOGITS=bf16): how much weight
+    # error does keeping the LOGITS conv in bf16 remove, per conv?
+    import jax.numpy as jnp
+
+    print("\nbf16 rounding vs int8 per-row rounding, per conv:")
+    for i, (k, _b) in enumerate(blocks[1:]):
+        w = np.asarray(k, np.float32).reshape(9, k.shape[2], k.shape[3])
+        wrow = w.reshape(3, 3 * k.shape[2], k.shape[3])
+        bf = np.asarray(jnp.asarray(w, jnp.bfloat16), np.float32)
+        e_bf = rel_err(w, bf)
+        e_i8 = rel_err(w, quantize(wrow, (1,)).reshape(w.shape))
+        tag = "LOGITS" if i == len(blocks) - 2 else f"conv{i+1}"
+        print(f"  {tag:8s}: bf16 {e_bf:.5f}  int8/row {e_i8:.5f}  "
+              f"(bf16 = {e_bf/max(e_i8,1e-12):.3f}x of int8)")
+
 
 if __name__ == "__main__":
     main()

@@ -166,6 +166,12 @@ _INT8_SCALES = _os.environ.get("SD_INT8_SCALES", "row")
 # VPU/MXU overlap matters more (r4 ladder: xyrow/16/int8 68.7 ->
 # 67.0 ms/fwd at il2). Env override for on-hardware A/Bs.
 _INTERLEAVE = int(_os.environ.get("SD_FUSED_INTERLEAVE", "1"))
+# int8 mixed precision: 'bf16' keeps the final logits conv (the
+# categorical sampler's direct input; ~12% of kernel flops at reference
+# widths) in bf16 while the inner convs run int8 — spikes are {0,1} so
+# the bf16 cast of the conv input is exact; only the inner-conv weight
+# rounding remains. Quality/perf A/B knob; 'int8' = fully quantized.
+_INT8_LOGITS = _os.environ.get("SD_INT8_LOGITS", "int8")
 # ROOFLINE ABLATIONS — benchmarking only, the output is numerically WRONG.
 # Quantifies the VPU wall of the (measured) VPU-bound int8 kernel by
 # deleting op classes while keeping shapes/dtypes/loop structure:
@@ -390,6 +396,10 @@ def _make_kernel(
             new_acc = []
             for j in range(n_sub):
                 cat = jnp.concatenate([xs[j], s1s[j]], axis=-1)
+                if jnp.dtype(dtype) == jnp.int8 and _INT8_LOGITS == "bf16":
+                    # mixed precision: {0,1} spikes cast exactly to bf16;
+                    # the fp _conv3x3 path then runs the bf16 logits conv
+                    cat = cat.astype(jnp.bfloat16)
                 new_acc.append(
                     acc[j] + _conv3x3(cat, wf_ref, bf_ref, masks, hw)
                 )
@@ -490,7 +500,18 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
         ws.append(w)
         bs.append(pack_b(b, s))
     kf, bf = blocks[-1]
-    kf, sf = shape_w(kf)
+    if quant and _INT8_LOGITS == "bf16":
+        # mixed precision: logits conv stays bf16 (exact on the {0,1}
+        # spike side); its (1, Cout) fp32 bias pack routes the kernel's
+        # dtype-agnostic (W, b) pairing down the fp path
+        w = jnp.asarray(kf, jnp.float32)
+        if (conv_mode or _CONV_MODE) == "xyrow":
+            w = w.reshape(3, 3 * kf.shape[2], kf.shape[3])
+        else:
+            w = w.reshape(9, kf.shape[2], kf.shape[3])
+        kf, sf = w.astype(jnp.bfloat16), None
+    else:
+        kf, sf = shape_w(kf)
     return (
         jnp.asarray(k1, jnp.float32),
         jnp.asarray(b1, jnp.float32),
@@ -703,7 +724,10 @@ def mirror_denoise_fn(
     quant = jnp.dtype(dtype) == jnp.int8
 
     def conv(x, w, b, masks):
-        if quant:
+        # dispatch on the WEIGHT dtype (not the module mode): under
+        # _INT8_LOGITS='bf16' mixed precision the final conv carries bf16
+        # weights inside an otherwise-int8 model and takes the fp path
+        if jnp.dtype(w.dtype) == jnp.int8:
             # exact int32 tap accumulation per kernel-row dy. Integer adds
             # are associative, so each dy-group sum matches the kernel's
             # v[dy] bit-for-bit; the dequant-and-combine below replicates
@@ -755,9 +779,10 @@ def mirror_denoise_fn(
             for i in range(1, n_l):
                 z = conv(x, ws[i - 1], bs[i - 1], masks)
                 vs[i], x = _lif_step(vs[i], z, p, dtype)
-            acc = acc + conv(
-                jnp.concatenate([x, s1], axis=-1), kf, bf, masks
-            )
+            cat = jnp.concatenate([x, s1], axis=-1)
+            if quant and jnp.dtype(kf.dtype) != jnp.int8:
+                cat = cat.astype(kf.dtype)  # mixed-precision logits conv
+            acc = acc + conv(cat, kf, bf, masks)
         out = acc / cfg.num_steps
         return out.reshape(n, hw, hw, kf.shape[-1])
 

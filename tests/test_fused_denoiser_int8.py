@@ -104,6 +104,33 @@ def test_int8_clip_quantizer_parity():
         fused_denoiser._INT8_CLIP_PCT = old
 
 
+def test_int8_bf16_logits_parity():
+    """Mixed precision (SD_INT8_LOGITS=bf16): inner convs int8, logits
+    conv bf16. Kernel vs mirror — the shared int8 inner path is exact, so
+    only the bf16 final matmul's accumulation order separates them
+    (bf16-level tolerance); and the knob must actually change the output
+    vs the fully-int8 model."""
+    _, variables = _trained_variables(seed=9)
+    x, t = _batch(n=8, seed=21)
+    old = fused_denoiser._INT8_LOGITS
+    fused_denoiser._INT8_LOGITS = "bf16"
+    try:
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                                  dtype=jnp.int8)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.int8, block_n=4
+        )
+        out = np.asarray(jax.jit(fused)(x, t))
+        ref = np.asarray(jax.jit(mirror)(x, t))
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+    finally:
+        fused_denoiser._INT8_LOGITS = old
+    full_int8 = np.asarray(jax.jit(fused_denoiser.mirror_denoise_fn(
+        variables, CFG, dtype=jnp.int8))(x, t))
+    assert not np.allclose(ref, full_int8, atol=1e-7), \
+        "bf16-logits mode did not change the output"
+
+
 def test_int8_cout_scales_parity():
     """Legacy per-cout scale granularity (SD_INT8_SCALES=cout): the
     (2, Cout) pack takes the int32-combine-then-dequant kernel path —
