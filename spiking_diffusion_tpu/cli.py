@@ -490,10 +490,15 @@ def _eval_generation(args, model, state, d_cfg, dstate, ds, sample_path):
         if args.metric in (None, "FID"):
             entry["FID"] = round(fid_from_features(feats, real_feats), 4)
         if args.metric in (None, "KID"):
+            # LeNet-space features need the unit-norm kernel convention
+            # (raw-feature cubic kernel is unreadable at this scale —
+            # see metrics/scores.kid_from_features). Reported x 1e3, the
+            # usual KID convention (torchmetrics ``main.py:463-496``).
             kid_mean, _ = kid_from_features(
-                real_feats, feats, subsets=10, subset_size=min(500, len(gen))
+                real_feats, feats, subsets=10,
+                subset_size=min(500, len(gen)), normalize="unit",
             )
-            entry["KID"] = round(kid_mean, 6)
+            entry["KID_x1e3"] = round(kid_mean * 1e3, 4)
         if args.metric in (None, "MODE"):
             mc = mode_coverage_kl(feature_fn, gen01, ds.num_classes)
             entry["mode_KL"] = round(mc["kl"], 4)
@@ -636,9 +641,11 @@ def _run_snn_vae(args, model, ds, save_path, sample_path, root_key):
     )
     is_mean, _ = inception_score_from_probs(probs, splits=4)
     kid_mean, _ = kid_from_features(real_feats, feats, subsets=10,
-                                    subset_size=min(500, len(gen)))
+                                    subset_size=min(500, len(gen)),
+                                    normalize="unit")
     fid = fid_from_features(feats, real_feats)
-    print(f"IS = {is_mean:.4f}  KID = {kid_mean:.6f}  FID = {fid:.4f}  "
+    print(f"IS = {is_mean:.4f}  KIDx1e3 = {kid_mean * 1e3:.4f}  "
+          f"FID = {fid:.4f}  "
           f"[space {space_info.get('space_sha', '')[:16]}"
           f"{' frozen' if space_info.get('frozen') else ''}]")
 

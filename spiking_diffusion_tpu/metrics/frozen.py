@@ -27,6 +27,14 @@ The stats are a verification anchor, not a requirement: since the space
 is frozen, real-set features recompute bit-identically from the same
 data; on data-sha match the eval asserts the recomputed stats equal the
 committed ones ("reproducible to the digit").
+
+KID convention in this space (since round 5): features are L2-normalized
+per row before the cubic kernel (``scores.kid_from_features(...,
+normalize="unit")``) and reported as ``KID_x1e3``. Raw LeNet activations
+have ~1e2 magnitudes, which the degree-3 kernel blows up to ~1e5 —
+numerically torchmetrics-correct but information-free. Pre-r5
+metrics.json files carry the old raw-feature ``KID`` key and are not
+comparable to ``KID_x1e3``.
 """
 
 from __future__ import annotations

@@ -106,11 +106,32 @@ def kid_from_features(
     gamma: Optional[float] = None,
     coef: float = 1.0,
     seed: int = 0,
+    normalize: str = "none",
 ) -> Tuple[float, float]:
     """KID = mean/std over random subsets of unbiased MMD^2 with the cubic
-    polynomial kernel (torchmetrics defaults: 100 subsets of 1000)."""
+    polynomial kernel (torchmetrics defaults: 100 subsets of 1000).
+
+    ``normalize``:
+      * ``"none"`` — torchmetrics-exact: raw features, gamma = 1/d. Fine
+        for Inception-scale activations; on raw LeNet features the cubic
+        kernel explodes (magnitudes ~1e2 -> KID ~1e5, carries no signal).
+      * ``"unit"`` — L2-normalize each feature row first and default
+        gamma to 1 (x.y in [-1, 1], kernel bounded by (coef+1)^degree),
+        so MMD^2 lands in the conventional O(1e-3..1) range regardless of
+        the extractor's feature scale. This is the convention for all
+        LeNet-frozen-space numbers (report as KID x 1e3).
+    """
     feat_real = np.asarray(feat_real, np.float64)
     feat_fake = np.asarray(feat_fake, np.float64)
+    if normalize == "unit":
+        feat_real = feat_real / np.maximum(
+            np.linalg.norm(feat_real, axis=1, keepdims=True), 1e-12)
+        feat_fake = feat_fake / np.maximum(
+            np.linalg.norm(feat_fake, axis=1, keepdims=True), 1e-12)
+        if gamma is None:
+            gamma = 1.0
+    elif normalize != "none":
+        raise ValueError(f"unknown normalize mode: {normalize!r}")
     n = min(feat_real.shape[0], feat_fake.shape[0])
     m = min(subset_size, n)
     rng = np.random.RandomState(seed)

@@ -80,6 +80,27 @@ def test_kid_zero_for_same_distribution():
     assert kid2 > kid + 0.5
 
 
+def test_kid_unit_normalize_is_scale_invariant_and_readable():
+    rng = np.random.RandomState(7)
+    a = rng.randn(600, 8)
+    b = rng.randn(600, 8)
+    c = rng.randn(600, 8) + 1.5
+    # LeNet-scale features (x100): raw kernel explodes, unit mode doesn't
+    kid_raw, _ = kid_from_features(a * 100, c * 100, subsets=10,
+                                   subset_size=200)
+    assert kid_raw > 1e3  # the r4 illegibility failure mode
+    kid_same, _ = kid_from_features(a * 100, b * 100, subsets=10,
+                                    subset_size=200, normalize="unit")
+    kid_diff, _ = kid_from_features(a * 100, c * 100, subsets=10,
+                                    subset_size=200, normalize="unit")
+    assert abs(kid_same) < 0.05
+    assert 0.01 < kid_diff < 8.0  # bounded kernel -> readable range
+    # invariant to global feature scale
+    kid_diff_s, _ = kid_from_features(a, c, subsets=10, subset_size=200,
+                                      normalize="unit")
+    assert abs(kid_diff - kid_diff_s) < 1e-9
+
+
 def test_lenet_trains_and_extracts():
     from spiking_diffusion_tpu.data import synthetic_dataset
     from spiking_diffusion_tpu.metrics.features import (
