@@ -1,0 +1,250 @@
+"""Full-model cross-framework parity bridge: flax -> reference torch.
+
+Exports a trained flax ``SNNVQVAE`` / ``SpikingDenoiser`` variable tree
+into state_dicts for the ACTUAL reference modules (``snn_model/
+vae_model.py:161-196`` ``SNN_VQVAE``, ``snn_model/vq_diffusion.py:150-208``
+``DummyModel``), so reconstructions, code indices, and denoiser logits
+can be asserted equal ACROSS FRAMEWORKS on the same trained weights.
+
+This transfers every quality claim made in the frozen LeNet metric space
+onto the reference implementation itself: if the exported weights produce
+the same recon images and the same sampler logits inside the reference's
+own torch modules, then any score measured on our sampler is a statement
+about the reference-equivalent model, pretrained-Inception weights or
+not (VERDICT r4 "Next round" #4).
+
+Layout conversions (verified numerically in tests/test_fullmodel_bridge.py):
+  * Conv2d:          flax (H, W, Cin, Cout)  -> torch (Cout, Cin, H, W)
+  * ConvTranspose2d: flax (H, W, Cin, Cout)  -> torch (Cin, Cout, H, W)
+    with a spatial flip — ``lax.conv_transpose`` (flax, no kernel flip)
+    and torch's gradient-of-conv differ by kernel mirroring.
+  * BatchNorm2d:     scale/bias/mean/var -> weight/bias/running_mean/
+    running_var (statistics are already T*N-joint on both sides).
+  * Embedding:       (K, D) identical.
+
+The export side is pure numpy (no torch import); ``load_reference_*``
+helpers instantiate the reference modules and load the dicts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+REFERENCE_DIR = "/root/reference/Spiking-Diffusion-release"
+SJ_EXTRACT_DIR = "/tmp/sj_pkg"
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def conv_weight_to_torch(kernel) -> np.ndarray:
+    """flax Conv kernel (H, W, Cin, Cout) -> torch (Cout, Cin, H, W)."""
+    return np.ascontiguousarray(np.transpose(_np(kernel), (3, 2, 0, 1)))
+
+
+def deconv_weight_to_torch(kernel) -> np.ndarray:
+    """flax ConvTranspose kernel (H, W, Cin, Cout) -> torch
+    ConvTranspose2d weight (Cin, Cout, H, W), spatially flipped."""
+    k = np.transpose(_np(kernel), (2, 3, 0, 1))
+    return np.ascontiguousarray(k[:, :, ::-1, ::-1])
+
+
+def _bn_entries(prefix: str, scale, bias, mean, var) -> Dict[str, np.ndarray]:
+    return {
+        f"{prefix}.weight": _np(scale),
+        f"{prefix}.bias": _np(bias),
+        f"{prefix}.running_mean": _np(mean),
+        f"{prefix}.running_var": _np(var),
+        # torch tracks this for momentum=None averaging; value irrelevant
+        # in eval mode but the key must exist for strict loading.
+        f"{prefix}.num_batches_tracked": np.asarray(0, dtype=np.int64),
+    }
+
+
+def vqvae_state_dict(
+    params: Mapping[str, Any], batch_stats: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """flax SNNVQVAE variables -> reference ``SNN_VQVAE`` state_dict.
+
+    Reference module layout (``vae_model.py``): encoder/decoder are
+    ``nn.Sequential`` with convs at indices 0/3/6 and BNs at 1/4/7
+    (decoder: deconvs 0/3/6, BNs 1/4 — the last deconv has no BN/LIF);
+    the VQ layer holds ``embeddings``, ``alpha`` and the ``poisson``
+    (conv1x1 + BN + LIF) re-spike block.
+    """
+    p, s = params, batch_stats
+    out: Dict[str, np.ndarray] = {}
+
+    # --- encoder: 3x (Conv, BN, LIF) ---
+    for i in range(3):
+        conv = p["encoder"][f"SeqConv_{i}"]["Conv_0"]
+        out[f"encoder.snn_convs.{3 * i}.weight"] = conv_weight_to_torch(
+            conv["kernel"])
+        out[f"encoder.snn_convs.{3 * i}.bias"] = _np(conv["bias"])
+        bn_p = p["encoder"][f"SeqBatchNorm_{i}"]["BatchNorm_0"]
+        bn_s = s["encoder"][f"SeqBatchNorm_{i}"]["BatchNorm_0"]
+        out.update(_bn_entries(
+            f"encoder.snn_convs.{3 * i + 1}",
+            bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]))
+
+    # MembraneOutputLayer registers its constant 0.8^(T-1-t) coefficients
+    # as a buffer (``snn_layers.py:28-35``) — regenerate, not learned.
+    coef = (0.8 ** np.arange(15, -1, -1, dtype=np.float32))
+    out["memout.coef"] = coef.reshape(16, 1, 1, 1, 1)
+    out["vq_layer.memout.coef"] = coef.reshape(16, 1, 1, 1, 1)
+
+    # --- VQ layer ---
+    out["vq_layer.alpha"] = _np(p["vq_layer"]["alpha"])
+    out["vq_layer.embeddings.weight"] = _np(p["vq_layer"]["embeddings"])
+    pc = p["vq_layer"]["poisson_conv"]["Conv_0"]
+    out["vq_layer.poisson.0.weight"] = conv_weight_to_torch(pc["kernel"])
+    out["vq_layer.poisson.0.bias"] = _np(pc["bias"])
+    pb = p["vq_layer"]["poisson_bn"]["BatchNorm_0"]
+    sb = s["vq_layer"]["poisson_bn"]["BatchNorm_0"]
+    out.update(_bn_entries(
+        "vq_layer.poisson.1",
+        pb["scale"], pb["bias"], sb["mean"], sb["var"]))
+
+    # --- decoder: deconv/BN/LIF x2 + final deconv ---
+    for i in range(3):
+        dc = p["decoder"][f"SeqConvTranspose_{i}"]["ConvTranspose_0"]
+        out[f"decoder.snn_convs.{3 * i}.weight"] = deconv_weight_to_torch(
+            dc["kernel"])
+        out[f"decoder.snn_convs.{3 * i}.bias"] = _np(dc["bias"])
+        if i < 2:
+            bn_p = p["decoder"][f"SeqBatchNorm_{i}"]["BatchNorm_0"]
+            bn_s = s["decoder"][f"SeqBatchNorm_{i}"]["BatchNorm_0"]
+            out.update(_bn_entries(
+                f"decoder.snn_convs.{3 * i + 1}",
+                bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]))
+    return out
+
+
+def denoiser_state_dict(
+    params: Mapping[str, Any], batch_stats: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """flax SpikingDenoiser variables -> reference ``DummyModel``
+    state_dict (conv1..conv5 = Conv+BN+LIF blocks, conv6 = bare conv)."""
+    p, s = params, batch_stats
+    out: Dict[str, np.ndarray] = {}
+    for i in range(6):
+        conv = p[f"SeqConv_{i}"]["Conv_0"]
+        out[f"conv{i + 1}.0.weight"] = conv_weight_to_torch(conv["kernel"])
+        out[f"conv{i + 1}.0.bias"] = _np(conv["bias"])
+        if i < 5:
+            bn_p = p[f"SeqBatchNorm_{i}"]["BatchNorm_0"]
+            bn_s = s[f"SeqBatchNorm_{i}"]["BatchNorm_0"]
+            out.update(_bn_entries(
+                f"conv{i + 1}.1",
+                bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch-side loading (imports torch + the reference lazily)
+# ---------------------------------------------------------------------------
+
+
+def ensure_reference_importable() -> bool:
+    """Put the reference app + its vendored spikingjelly on sys.path,
+    extracting the zip to ``/tmp/sj_pkg`` if a VM reset wiped it."""
+    if not os.path.isdir(REFERENCE_DIR):
+        return False
+    sj = os.environ.get("SPIKINGJELLY_PATH", SJ_EXTRACT_DIR)
+    if not os.path.isdir(os.path.join(sj, "spikingjelly")):
+        zpath = os.path.join(REFERENCE_DIR, "spikingjelly.zip")
+        if not os.path.isfile(zpath):
+            return False
+        os.makedirs(sj, exist_ok=True)
+        with zipfile.ZipFile(zpath) as z:
+            z.extractall(sj)
+    for path in (sj, REFERENCE_DIR):
+        if path not in sys.path:
+            sys.path.insert(0, path)
+    # the reference imports torchvision at module scope; stub if absent
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tv.datasets = types.ModuleType("torchvision.datasets")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules.setdefault("torchvision", tv)
+        sys.modules.setdefault("torchvision.datasets", tv.datasets)
+        sys.modules.setdefault("torchvision.transforms", tv.transforms)
+    return True
+
+
+def load_reference_vqvae(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    embedding_dim: int = 16,
+    num_embeddings: int = 128,
+    data_variance: float = 1.0,
+):
+    """Instantiate the reference ``SNN_VQVAE`` (multi-step mode, eval)
+    loaded with the exported flax weights. Returns the torch module."""
+    if not ensure_reference_importable():
+        raise RuntimeError("reference tree / spikingjelly.zip unavailable")
+    import torch
+    from spikingjelly.activation_based import functional as sj_functional
+    from snn_model.vae_model import SNN_VQVAE
+
+    model = SNN_VQVAE(1, embedding_dim, num_embeddings, data_variance)
+    sj_functional.set_step_mode(model, "m")
+    sd = {k: torch.tensor(v) for k, v in
+          vqvae_state_dict(params, batch_stats).items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # LIF nodes are parameter-free; anything else missing is a bug
+    if unexpected:
+        raise RuntimeError(f"unexpected keys: {unexpected}")
+    if missing:
+        raise RuntimeError(f"missing reference keys: {missing}")
+    model.eval()
+    sj_functional.reset_net(model)
+    return model
+
+
+def load_reference_denoiser(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    num_embeddings: int = 128,
+):
+    """Instantiate the reference ``DummyModel`` (multi-step, eval) loaded
+    with the exported flax denoiser weights."""
+    if not ensure_reference_importable():
+        raise RuntimeError("reference tree / spikingjelly.zip unavailable")
+    import torch
+    from spikingjelly.activation_based import functional as sj_functional
+    from snn_model.vq_diffusion import DummyModel
+
+    model = DummyModel(1, num_embeddings)
+    sj_functional.set_step_mode(model, "m")
+    sd = {k: torch.tensor(v) for k, v in
+          denoiser_state_dict(params, batch_stats).items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    if unexpected:
+        raise RuntimeError(f"unexpected keys: {unexpected}")
+    if missing:
+        raise RuntimeError(f"missing reference keys: {missing}")
+    model.eval()
+    sj_functional.reset_net(model)
+    return model
+
+
+__all__ = [
+    "conv_weight_to_torch",
+    "deconv_weight_to_torch",
+    "vqvae_state_dict",
+    "denoiser_state_dict",
+    "ensure_reference_importable",
+    "load_reference_vqvae",
+    "load_reference_denoiser",
+]

@@ -52,3 +52,13 @@ def restore_checkpoint(state: TrainState, ckpt_dir: str, name: str = "model") ->
 
 def checkpoint_exists(ckpt_dir: str, name: str = "model") -> bool:
     return os.path.isdir(os.path.join(ckpt_dir, name))
+
+
+def load_variables(ckpt_dir: str, name: str = "model"):
+    """Template-free restore of just (params, batch_stats) as host numpy
+    trees — for consumers that don't need a TrainState (e.g. the torch
+    parity bridge, ``models/torch_bridge.py``)."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    tree = ocp.StandardCheckpointer().restore(path)
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+    return to_np(tree["params"]), to_np(tree["batch_stats"])
