@@ -31,13 +31,15 @@ import os
 import time
 
 # Headline config (since round 5): int8 megakernel weights with
-# per-kernel-row dequant scales + sub-tile interleave 2 — the measured
-# best end-to-end config (r4 ladder: il2 -3.2% vs il1; int8 818.6 img/s
-# vs bf16 592.7). Quality gate passed: int8-row FID 180.86 vs bf16 174.31
-# on the same checkpoint/seed (delta 6.5 <= the ~7-FID decision bound;
-# see STATUS.md round-5 int8 decision memo). BENCH_DTYPE=bf16 restores
-# the old headline path. Env defaults must land before fused_denoiser
-# import (its knobs are read at module import).
+# per-kernel-row dequant scales + sub-tile interleave 2, 'xyband' conv
+# mode (sliced valid-row dy matmuls) — the measured best end-to-end
+# config (r5: xyband int8+il2 1101.3 img/s vs xyrow 834.1; bf16 xyband
+# 718.7 vs 592.7). Quality gate passed: int8-row FID 180.86 vs bf16
+# 174.31 on the same checkpoint/seed (delta 6.5, well inside the
+# measured ~±40-80 sampler-seed FID noise at 1,280 images — STATUS.md
+# stage-4 noise arm). BENCH_DTYPE=bf16 restores the bf16 path. Env
+# defaults must land before fused_denoiser import (its knobs are read
+# at module import).
 _BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "int8")
 os.environ.setdefault("BENCH_DTYPE", _BENCH_DTYPE)
 if _BENCH_DTYPE == "int8":

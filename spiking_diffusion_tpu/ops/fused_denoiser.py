@@ -96,7 +96,8 @@ def _row_roll(x: jax.Array, s: int) -> jax.Array:
     return jnp.concatenate([x[s:], x[:s]], axis=0)
 
 
-def _build_masks(r: int, hw: int, mode: str | None = None):
+def _build_masks(r: int, hw: int, mode: str | None = None,
+                 n_minor: int = 1):
     """Validity masks for the masked-shift convolutions, (R, 1) booleans.
 
     Output row p may take input row p + dy*hw + dx iff the (y+dy, x+dx)
@@ -105,9 +106,14 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
     x+dx out of range there by construction).
 
     'xy' mode needs only 4 masks (x-1, x+1, y-1, y+1); the other modes use
-    the 9 per-tap products.
+    the 9 per-tap products. 'xyband' (rows ordered (y, x, n); ``n_minor``
+    samples n-minor) needs only the 2 x masks — its y taps are handled by
+    static row SLICES, not masks (see :func:`_conv3x3`).
     """
     pidx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    if (mode or _CONV_MODE) == "xyband":
+        xb = (pidx // n_minor) % hw
+        return (xb - 1 >= 0, xb + 1 < hw)
     yy = (pidx % (hw * hw)) // hw
     xx = pidx % hw
     if (mode or _CONV_MODE) in ("xy", "xyrow"):
@@ -129,11 +135,23 @@ def _build_masks(r: int, hw: int, mode: str | None = None):
 
 import os as _os
 
-# 'xy' | 'xyrow' | 'taps' | 'im2col' — measured winner 'xyrow' (584 vs
-# 564 img/s for 'xy' on v5e, round-3 A/B at batch 2048 bf16: the three
-# per-kernel-row wide matmuls keep the MXU busier than nine narrow
-# ones); the env override exists for on-hardware A/B runs
-_CONV_MODE = _os.environ.get("SD_CONV_MODE", "xyrow")
+# 'xy' | 'xyrow' | 'xyband' | 'taps' | 'im2col' — 'xyrow' was the round-3
+# winner (584 vs 564 img/s for 'xy' on v5e: the three per-kernel-row wide
+# matmuls keep the MXU busier than nine narrow ones). 'xyband' (round 5,
+# VERDICT r4 #6) attacks the padding-tap waste: the tile rows are
+# reordered (y, x, n) so the dy=+-1 kernel-row matmuls run on a
+# contiguous 42/49 row slice instead of masking — 9.5% fewer executed
+# MXU flops AND the two y-align roll+select VPU passes become plain
+# concats. Measured on v5e (driver-shaped bench, batch 1024): int8+il2
+# 834 -> 1101 img/s (+32%, mfu_useful 0.41 -> 0.54 of int8 peak), bf16
+# 593 -> 719 (+21%, mfu_useful 0.59 -> 0.71) — the deleted y-align
+# passes were real VPU load on top of the MXU cut, so 'xyband' is the
+# default. The remaining x-edge waste (~8.6%) is NOT sliceable in the
+# wide-matmul formulation (it lives in zero (R, Cin) sub-blocks of the
+# 3Cin concat operand); carving it out needs ~7 narrow matmuls per
+# kernel row, which the round-3 'taps'-vs-'xyrow' A/B already measured
+# as a net loss. Env override for on-hardware A/B runs.
+_CONV_MODE = _os.environ.get("SD_CONV_MODE", "xyband")
 _UNROLL_T = False  # unrolling the T loop 16x fails TPU compile (program too large)
 # partial T-loop unroll factor (1 = none): fori_loop over T/u with u
 # inlined steps per iteration. Measured NEUTRAL-to-NEGATIVE on v5e
@@ -186,7 +204,84 @@ if _ABLATE not in ("", "nolif", "noshift", "matmul"):
     raise ValueError(f"SD_FUSED_ABLATE={_ABLATE!r} not in nolif/noshift/matmul")
 
 
-def _conv3x3(x, w_ref, b_ref, masks, hw: int):
+def _conv3x3_xyband(x, w_ref, b_ref, masks, hw: int, n_minor: int):
+    """'xyband' conv: rows ordered (y, x, n), ``n_minor`` samples n-minor.
+
+    One y value occupies ``band = hw * n_minor`` CONTIGUOUS rows, so the
+    dy=-1 kernel-row matmul only needs source rows y in [0, hw-1) — a
+    static prefix slice — and its output re-aligns to out rows
+    [band, R) by a zero-padded concat (dy=+1 symmetric). No y masks, no
+    y roll+select; the executed MXU flops drop to (hw^2 + 2 hw(hw-1)) /
+    (3 hw^2) of the 9-tap count (VERDICT r4 #6). x taps keep the
+    mask+roll trick, with rolls by n_minor (x is no longer row-minor).
+
+    int8 parity note: the fp32 combine order (center, top, bottom, bias)
+    matches the xyrow kernel and the mirror bit-for-bit; sliced rows
+    contribute literal +0.0 exactly like the masked zero rows they
+    replace.
+    """
+    r = x.shape[0]
+    cout = w_ref.shape[-1]
+    band = hw * n_minor
+    quant = jnp.dtype(x.dtype) == jnp.int8
+    xmask_m, xmask_p = masks
+    noshift = _ABLATE in ("noshift", "matmul")
+    if noshift:
+        u_m = u_p = x  # roofline ablation: unshifted taps, unsliced rows
+    else:
+        zero = jnp.zeros_like(x)
+        u_m = jnp.where(xmask_m, _row_roll(x, -n_minor), zero)
+        u_p = jnp.where(xmask_p, _row_roll(x, n_minor), zero)
+    big = jnp.concatenate([u_m, x, u_p], axis=-1)
+
+    if quant:
+        def dot(a, w):
+            return jax.lax.dot_general(
+                a, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    else:
+        def dot(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    v1 = dot(big, w_ref[1])
+    if noshift:
+        v0, v2 = dot(big, w_ref[0]), dot(big, w_ref[2])
+    else:
+        v0 = dot(big[: r - band], w_ref[0])  # source y<hw-1 -> out[band:]
+        v2 = dot(big[band:], w_ref[2])       # source y>0    -> out[:r-band]
+
+    if not quant:
+        bias = jnp.broadcast_to(b_ref[...].astype(jnp.float32), (r, cout))
+        if noshift:
+            return bias + v0 + v1 + v2
+        zf = jnp.zeros((band, cout), v1.dtype)
+        out = bias + v1
+        out = out + jnp.concatenate([zf, v0], axis=0)
+        return out + jnp.concatenate([v2, zf], axis=0)
+    bias = b_ref[0:1].astype(jnp.float32)
+    if b_ref.shape[0] == 4:
+        # per-kernel-row dequant scales; fp32 combine order == xyrow/mirror
+        s = b_ref[1:4].astype(jnp.float32)
+        f1 = v1.astype(jnp.float32) * s[1:2]
+        f0 = v0.astype(jnp.float32) * s[0:1]
+        f2 = v2.astype(jnp.float32) * s[2:3]
+        if noshift:
+            return f1 + f0 + f2 + bias
+        zf = jnp.zeros((band, cout), jnp.float32)
+        out = f1 + jnp.concatenate([zf, f0], axis=0)
+        out = out + jnp.concatenate([f2, zf], axis=0)
+        return out + bias
+    scale = b_ref[1:2].astype(jnp.float32)
+    if noshift:
+        return (v0 + v1 + v2).astype(jnp.float32) * scale + bias
+    zi = jnp.zeros((band, cout), v1.dtype)
+    out = v1 + jnp.concatenate([zi, v0], axis=0)
+    out = out + jnp.concatenate([v2, zi], axis=0)
+    return out.astype(jnp.float32) * scale + bias
+
+
+def _conv3x3(x, w_ref, b_ref, masks, hw: int, n_minor: int = 1):
     """SAME 3x3 conv of flattened (R, Cin) rows via masked row shifts.
 
     w_ref: (9, Cin, Cout) ref (tap k = (ky, kx) row-major, dy=ky-1);
@@ -202,12 +297,21 @@ def _conv3x3(x, w_ref, b_ref, masks, hw: int):
                  become 3 wide (R, 3Cin)x(3Cin, Cout) kernel-row matmuls
                  on a concat of the shifted inputs — the measured winner
                  (584 vs 564 img/s on v5e; MXU prefers fewer, wider ops).
+      'xyband' — 'xyrow' over rows reordered (y, x, n) (``n_minor``
+                 samples n-minor, x-rolls by n_minor): the y=+-1 edge
+                 rows are then CONTIGUOUS, so the dy=+-1 matmuls run on
+                 a static (R - hw*n_minor)-row slice and their outputs
+                 re-align by zero-padded concat — (hw^2 + 2 hw(hw-1)) /
+                 (3 hw^2) of xyrow's executed MXU flops (133/147 at 7x7)
+                 and no y roll+select passes at all.
       'taps'   — 9 masked rolls, 9 accumulating matmuls.
       'im2col' — 9 masked rolls concatenated, ONE (R, 9*Cin) matmul.
     """
     r = x.shape[0]
     cout = w_ref.shape[-1]
     quant = jnp.dtype(x.dtype) == jnp.int8
+    if _CONV_MODE == "xyband":
+        return _conv3x3_xyband(x, w_ref, b_ref, masks, hw, n_minor)
     if quant:
         # int8 mode: spikes are EXACTLY {0, 1}, so int8 spike x int8
         # weight with int32 accumulation is exact on the activation side
@@ -349,6 +453,9 @@ def _make_kernel(
 
     n_sub = _INTERLEAVE if (block_n % _INTERLEAVE == 0 and _INTERLEAVE > 1) else 1
     r_sub = r // n_sub
+    # 'xyband': rows ordered (y, x, n) per sub-tile with n_minor samples
+    # n-minor (the host-side transpose in make_fused_denoise_apply)
+    n_minor = block_n // n_sub
 
     def kernel(a1_ref, *refs):
         # refs layout: W_2, b_2, ..., W_{n_l}, b_{n_l}, W_f, b_f, out_ref
@@ -362,7 +469,7 @@ def _make_kernel(
         # scheduler independent MXU work (tile B's conv) to overlap with
         # VPU work (tile A's LIF/shifts) — the layer chain within one tile
         # is inherently serial.
-        masks = _build_masks(r_sub, hw)
+        masks = _build_masks(r_sub, hw, n_minor=n_minor)
         a1_full = a1_ref[...].reshape(r, channels[0]).astype(jnp.float32)
         a1s = [a1_full[j * r_sub:(j + 1) * r_sub] for j in range(n_sub)]
 
@@ -389,7 +496,7 @@ def _make_kernel(
             for i in range(1, n_l):
                 for j in range(n_sub):
                     z = _conv3x3(xs[j], w_refs[i - 1], b_refs[i - 1],
-                                 masks, hw)
+                                 masks, hw, n_minor)
                     vi, xs[j] = _lif_step(vs[j][i], z, p, dtype)
                     new_vs[j].append(vi)
             # U-Net skip: cat(last, first) on channels (vq_diffusion.py:205)
@@ -401,7 +508,8 @@ def _make_kernel(
                     # the fp _conv3x3 path then runs the bf16 logits conv
                     cat = cat.astype(jnp.bfloat16)
                 new_acc.append(
-                    acc[j] + _conv3x3(cat, wf_ref, bf_ref, masks, hw)
+                    acc[j] + _conv3x3(cat, wf_ref, bf_ref, masks, hw,
+                                      n_minor)
                 )
             return (
                 tuple(tuple(v) for v in new_vs),
@@ -426,7 +534,12 @@ def _make_kernel(
             _, accs = jax.lax.fori_loop(0, t_steps, body, (vs0, acc0))
         # firing-rate readout of the logits (vq_diffusion.py:206)
         acc = accs[0] if n_sub == 1 else jnp.concatenate(accs, axis=0)
-        out_ref[...] = (acc / t_steps).reshape(block_n, hw * hw, num_classes)
+        if _CONV_MODE == "xyband":
+            # rows stay (sub, y, x, n)-ordered; the host side inverts
+            out_ref[...] = acc / t_steps
+        else:
+            out_ref[...] = (acc / t_steps).reshape(
+                block_n, hw * hw, num_classes)
 
     return kernel
 
@@ -451,7 +564,7 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
         # (kh, kw, cin, cout) row-major reshape groups (kw, cin) exactly
         # as the kernel's concat([u[-1], u[0], u[1]]) expects
         w = jnp.asarray(k, jnp.float32)
-        if (conv_mode or _CONV_MODE) == "xyrow":
+        if (conv_mode or _CONV_MODE) in ("xyrow", "xyband"):
             w = w.reshape(3, 3 * k.shape[2], k.shape[3])
         else:
             w = w.reshape(9, k.shape[2], k.shape[3])
@@ -505,7 +618,7 @@ def _extract_folded_weights(variables, n_blocks: int, dtype,
         # spike side); its (1, Cout) fp32 bias pack routes the kernel's
         # dtype-agnostic (W, b) pairing down the fp path
         w = jnp.asarray(kf, jnp.float32)
-        if (conv_mode or _CONV_MODE) == "xyrow":
+        if (conv_mode or _CONV_MODE) in ("xyrow", "xyband"):
             w = w.reshape(3, 3 * kf.shape[2], kf.shape[3])
         else:
             w = w.reshape(9, kf.shape[2], kf.shape[3])
@@ -572,6 +685,10 @@ def denoiser_cost(
             for dy in (-1, 0, 1) for dx in (-1, 0, 1)
         )
         tap = valid / (9.0 * hw2)
+    elif _CONV_MODE == "xyband":
+        # hardware flops: 'xyband' really SKIPS the y-edge rows of the
+        # dy=+-1 kernel-row matmuls (executed work, not just useful work)
+        tap = (hw + 2.0 * (hw - 1)) / (3.0 * hw)
     flops = tap * 2.0 * r * 9 * 2 * ch[0]  # first conv (2 in-ch), once
     per_t = 0.0
     for i in range(1, len(ch)):
@@ -629,6 +746,9 @@ def make_fused_denoise_apply(
         flops_tile += 2 * r * 9 * channels[i - 1] * channels[i]
     flops_tile += 2 * r * 9 * (channels[-1] + channels[0]) * num_classes
     flops_tile *= t_steps
+    if _CONV_MODE == "xyband":
+        # the dy=+-1 kernel-row matmuls run on (hw-1)/hw of the rows
+        flops_tile = int(flops_tile * (hw + 2 * (hw - 1)) / (3 * hw))
     w_elems = sum(9 * channels[i - 1] * channels[i] for i in range(1, n_l))
     w_elems += 9 * (channels[-1] + channels[0]) * num_classes
     itemsize = jnp.dtype(dtype).itemsize
@@ -655,13 +775,48 @@ def make_fused_denoise_apply(
             bytes_accessed=int(bytes_tile) * n_tiles,
             transcendentals=0,
         )
-        in_specs = [
-            pl.BlockSpec(
-                (block_n, hw * hw, channels[0]),
+        xyband = _CONV_MODE == "xyband"
+        hw2 = hw * hw
+        if xyband:
+            # host-side row reorder to (tile, sub, y, x, n_minor): one tiny
+            # (N, 49, C1) transpose per denoiser call, amortized over the
+            # whole T x layers loop inside the kernel (and fused by XLA
+            # into the first-conv epilogue)
+            n_sub = (_INTERLEAVE
+                     if (block_n % _INTERLEAVE == 0 and _INTERLEAVE > 1)
+                     else 1)
+            n_minor = block_n // n_sub
+            a1 = a1.reshape(
+                n_tiles, n_sub, n_minor, hw2, channels[0]
+            ).transpose(0, 1, 3, 2, 4).reshape(
+                n_full * hw2, channels[0])
+            in_specs = [
+                pl.BlockSpec(
+                    (block_n * hw2, channels[0]), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            out_spec = pl.BlockSpec(
+                (block_n * hw2, num_classes), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = jax.ShapeDtypeStruct(
+                (n_full * hw2, num_classes), jnp.float32)
+        else:
+            in_specs = [
+                pl.BlockSpec(
+                    (block_n, hw2, channels[0]),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            out_spec = pl.BlockSpec(
+                (block_n, hw2, num_classes),
                 lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-        ]
+            out_shape = jax.ShapeDtypeStruct(
+                (n_full, hw2, num_classes), jnp.float32)
         for arg in weight_args:
             in_specs.append(
                 pl.BlockSpec(
@@ -674,14 +829,8 @@ def make_fused_denoise_apply(
             kernel,
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (block_n, hw * hw, num_classes),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (n_full, hw * hw, num_classes), jnp.float32
-            ),
+            out_specs=out_spec,
+            out_shape=out_shape,
             cost_estimate=cost,
             # larger tiles need more than Mosaic's default 16 MB scoped
             # VMEM budget; harmless for block_n=8 (fits either way)
@@ -690,6 +839,10 @@ def make_fused_denoise_apply(
             ) if not interpret else None,
             interpret=interpret,
         )(a1, *weight_args)
+        if xyband:
+            out = out.reshape(
+                n_tiles, n_sub, hw2, n_minor, num_classes
+            ).transpose(0, 1, 3, 2, 4).reshape(n_full, hw2, num_classes)
         return out[:n].reshape(n, hw, hw, num_classes)
 
     return denoise

@@ -159,7 +159,7 @@ def test_kernel_interleave_mode_matches_mirror():
 def test_kernel_xy_mode_matches_mirror():
     """'xy' (9 narrow per-tap matmuls; the round-2 default, superseded by
     'xyrow' after the round-3 on-hardware A/B) stays parity-locked to the
-    mirror. The default-mode tests above cover 'xyrow'."""
+    mirror. The default-mode tests above cover 'xyband'."""
     old = fused_denoiser._CONV_MODE
     fused_denoiser._CONV_MODE = "xy"
     try:
@@ -176,3 +176,52 @@ def test_kernel_xy_mode_matches_mirror():
         )
     finally:
         fused_denoiser._CONV_MODE = old
+
+
+def test_kernel_xyrow_mode_matches_mirror():
+    """'xyrow' (the round-3/4 default, superseded by 'xyband' after the
+    round-5 on-hardware A/B: int8 834 -> 1101 img/s, bf16 593 -> 719)
+    stays parity-locked as the masked-y fallback. The default-mode tests
+    above now cover 'xyband' (incl. its host-side transpose round trip
+    and the n=6 batch-padding case)."""
+    old = fused_denoiser._CONV_MODE
+    fused_denoiser._CONV_MODE = "xyrow"
+    try:
+        _, variables = _trained_variables(seed=8)
+        for n, seed in ((8, 15), (6, 17)):
+            x, t = _batch(n=n, seed=seed)
+            mirror = fused_denoiser.mirror_denoise_fn(variables, CFG)
+            fused = fused_denoiser.make_fused_denoise_fn(
+                variables, CFG, dtype=jnp.float32, block_n=4
+            )
+            np.testing.assert_allclose(
+                np.asarray(jax.jit(fused)(x, t)),
+                np.asarray(jax.jit(mirror)(x, t)),
+                atol=1e-5, rtol=1e-5,
+            )
+    finally:
+        fused_denoiser._CONV_MODE = old
+
+
+def test_kernel_xyband_interleave_matches_mirror():
+    """xyband x sub-tile interleave: the (y, x, n) reorder happens per
+    sub-tile (n_minor = block_n / n_sub), so the slice-and-realign must
+    stay sample-local across the interleaved halves."""
+    old_mode, old_il = fused_denoiser._CONV_MODE, fused_denoiser._INTERLEAVE
+    fused_denoiser._CONV_MODE = "xyband"
+    fused_denoiser._INTERLEAVE = 2
+    try:
+        _, variables = _trained_variables(seed=10)
+        x, t = _batch(n=8, seed=19)
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.float32, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._CONV_MODE = old_mode
+        fused_denoiser._INTERLEAVE = old_il

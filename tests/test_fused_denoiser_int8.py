@@ -199,3 +199,27 @@ def test_int8_mirror_tracks_fp32_mirror():
     # argmax agreement — what greedy decoding would consume
     agree = np.mean(y8.argmax(-1) == y32.argmax(-1))
     assert agree > 0.9, f"argmax agreement {agree:.3f}"
+
+
+def test_int8_xyrow_mode_matches_mirror():
+    """int8 'xyrow' (masked-y fallback; the pre-r5 default) stays
+    parity-locked. The default-mode int8 tests above now cover 'xyband',
+    whose sliced rows contribute literal +0.0 exactly like the masked
+    zero rows they replace (same fp32 dequant-combine order)."""
+    _, variables = _trained_variables(seed=4)
+    x, t = _batch(n=8, seed=21)
+    old = fused_denoiser._CONV_MODE
+    fused_denoiser._CONV_MODE = "xyrow"
+    try:
+        mirror = fused_denoiser.mirror_denoise_fn(variables, CFG,
+                                                  dtype=jnp.int8)
+        fused = fused_denoiser.make_fused_denoise_fn(
+            variables, CFG, dtype=jnp.int8, block_n=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(fused)(x, t)),
+            np.asarray(jax.jit(mirror)(x, t)),
+            atol=1e-5, rtol=1e-5,
+        )
+    finally:
+        fused_denoiser._CONV_MODE = old
