@@ -28,7 +28,7 @@ best_fid() {
   python - "$1" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
-print(min(r["FID"] for r in d.values() if isinstance(r, dict)))
+print(min(r["FID"] for r in d.values() if isinstance(r, dict) and "FID" in r))
 EOF
 }
 
