@@ -22,3 +22,78 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Fast-gate tiering. The full suite (`pytest tests/ -q`) runs everything;
+# the development fast gate is `-m "not slow and not heavy"` (<15 min).
+# 'heavy' = the measured long tail of compile-bound parity locks: every
+# test whose single-core call time exceeded ~13 s in the round-5 timing
+# run (pytest --durations; 56 tests = ~70% of suite wall time). They are
+# still first-class tests — only deselected from the quick iteration
+# loop. Re-measure with `pytest tests/ -q --durations=60` when retiering.
+_HEAVY = {
+    "tests/test_attention_deploy.py::test_netlist_roundtrip",
+    "tests/test_bf16.py::test_denoiser_bf16_logits_fp32",
+    "tests/test_bf16.py::test_train_step_bf16_finite_and_close_to_fp32",
+    "tests/test_bf16.py::test_vqvae_bf16_inference",
+    "tests/test_bnlif_dp.py::test_dp_bnlif_step_matches_single_device",
+    "tests/test_bnlif_dp.py::test_dp_bnlif_trainer_end_to_end",
+    "tests/test_checkpoint_grids.py::test_checkpoint_roundtrip",
+    "tests/test_denoiser_bnlif.py::test_bnlif_grads_match_layerwise",
+    "tests/test_denoiser_fusedconv.py::test_bf16_runs_and_tracks_fp32",
+    "tests/test_denoiser_fusedconv.py::test_checkpoint_tree_identical",
+    "tests/test_denoiser_fusedconv.py::test_forward_matches_layerwise_train",
+    "tests/test_denoiser_fusedconv.py::test_grads_match_layerwise",
+    "tests/test_examples.py::test_deploy_netx_example",
+    "tests/test_fullmodel_bridge.py::test_denoiser_bridge_random_init",
+    "tests/test_fullmodel_bridge.py::test_vqvae_bridge_random_init",
+    "tests/test_functional.py::test_fuse_denoiser_conv_bn_equivalence",
+    "tests/test_fused_denoiser.py::test_kernel_batch_padding",
+    "tests/test_fused_denoiser.py::test_kernel_interleave_mode_matches_mirror",
+    "tests/test_fused_denoiser.py::test_kernel_matches_mirror",
+    "tests/test_fused_denoiser.py::test_kernel_under_jit_and_sampler",
+    "tests/test_fused_denoiser.py::test_kernel_xy_mode_matches_mirror",
+    "tests/test_fused_denoiser.py::test_kernel_xyband_interleave_matches_mirror",
+    "tests/test_fused_denoiser.py::test_kernel_xyrow_mode_matches_mirror",
+    "tests/test_fused_denoiser.py::test_mirror_matches_real_denoiser",
+    "tests/test_fused_denoiser_int8.py::test_int8_bf16_logits_parity",
+    "tests/test_fused_denoiser_int8.py::test_int8_clip_quantizer_parity",
+    "tests/test_fused_denoiser_int8.py::test_int8_cout_scales_parity",
+    "tests/test_fused_denoiser_int8.py::test_int8_kernel_batch_padding",
+    "tests/test_fused_denoiser_int8.py::test_int8_kernel_matches_int8_mirror",
+    "tests/test_fused_denoiser_int8.py::test_int8_mirror_tracks_fp32_mirror",
+    "tests/test_fused_denoiser_int8.py::test_int8_row_scales_reduce_weight_error",
+    "tests/test_fused_denoiser_int8.py::test_int8_xy_mode_matches_mirror",
+    "tests/test_fused_denoiser_int8.py::test_int8_xyrow_mode_matches_mirror",
+    "tests/test_inception_parity.py::test_block_known_answer[E]",
+    "tests/test_lava_export.py::test_denoiser_netx_roundtrip",
+    "tests/test_lava_export.py::test_encoder_netx",
+    "tests/test_models.py::test_denoiser_shapes",
+    "tests/test_monitor.py::test_grad_norms",
+    "tests/test_parallel.py::test_dp_step_matches_single_device",
+    "tests/test_parallel.py::test_train_diffusion_data_parallel",
+    "tests/test_parallel.py::test_train_vqvae_data_parallel",
+    "tests/test_parallel.py::test_train_vqvae_rejects_bad_batch_split",
+    "tests/test_snn_vae.py::test_gradients_flow",
+    "tests/test_static_first_layer.py::test_encoder_first_replicated_flag_is_noop",
+    "tests/test_syops.py::test_generation_energy",
+    "tests/test_tensor_parallel.py::test_tp_diffusion_step_matches_single_device",
+    "tests/test_tensor_parallel.py::test_tp_vqvae_step_matches_single_device",
+    "tests/test_train_smoke.py::test_full_pipeline_smoke",
+    "tests/test_train_smoke.py::test_train_step_reduces_loss",
+    "tests/test_vq.py::test_straight_through_gradient",
+    "tests/test_vq.py::test_usage_uniformity_loss",
+    "tests/test_vqvae_bnlif.py::test_vqvae_bnlif_eval_and_decode_match",
+    "tests/test_vqvae_bnlif.py::test_vqvae_bnlif_forward_matches_scan_train",
+    "tests/test_vqvae_bnlif.py::test_vqvae_bnlif_grads_match_scan",
+    "tests/test_zoo_ann2snn.py::test_spiking_resnet_and_sew",
+    "tests/test_zoo_ann2snn.py::test_train_classifier_learns",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in _HEAVY:
+            item.add_marker(pytest.mark.heavy)
