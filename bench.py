@@ -31,19 +31,21 @@ import os
 import time
 
 # Headline config (since round 5): int8 megakernel weights with
-# per-kernel-row dequant scales + sub-tile interleave 2, 'xyband' conv
-# mode (sliced valid-row dy matmuls) — the measured best end-to-end
-# config (r5: xyband int8+il2 1101.3 img/s vs xyrow 834.1; bf16 xyband
-# 718.7 vs 592.7). Quality gate passed: int8-row FID 180.86 vs bf16
-# 174.31 on the same checkpoint/seed (delta 6.5, well inside the
-# measured ~±40-80 sampler-seed FID noise at 1,280 images — STATUS.md
-# stage-4 noise arm). BENCH_DTYPE=bf16 restores the bf16 path. Env
-# defaults must land before fused_denoiser import (its knobs are read
-# at module import).
+# per-kernel-row dequant scales, 'xyband' conv mode (sliced valid-row
+# dy matmuls), interleave 1 — the measured best end-to-end config.
+# The r5 post-xyband ladder inverted the r4 interleave result: il1
+# 1116.1 img/s > il2 1100.8 > il2+bf16-logits 1014.5 (il4 x xyband hits
+# a Mosaic layout limitation, "result/input offset mismatch"); bf16
+# xyband 718.7 vs xyrow 592.7. Quality gate passed at the flagship
+# tier: the int8 sampler at exactly this config scores FID 36.05 on the
+# committed 60+120 MNIST checkpoint vs bf16's 41.62 — at parity or
+# better (sample_r5_e60_int8). BENCH_DTYPE=bf16 restores the bf16 path.
+# Env defaults must land before fused_denoiser import (its knobs are
+# read at module import).
 _BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "int8")
 os.environ.setdefault("BENCH_DTYPE", _BENCH_DTYPE)
 if _BENCH_DTYPE == "int8":
-    os.environ.setdefault("SD_FUSED_INTERLEAVE", "2")
+    os.environ.setdefault("SD_FUSED_INTERLEAVE", "1")
 
 import jax
 import jax.numpy as jnp
