@@ -63,5 +63,5 @@ def test_cli_end_to_end_tiny(tmp_path, monkeypatch):
     assert np.isfinite(metrics["null_FID"])
     for temp in ("0.5", "1.0"):
         entry = metrics[temp]
-        assert "IS" in entry and "FID" in entry and "KID" in entry
+        assert "IS" in entry and "FID" in entry and "KID_x1e3" in entry
         assert np.isfinite(entry["FID"])
