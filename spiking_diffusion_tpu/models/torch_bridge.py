@@ -161,9 +161,12 @@ def ensure_reference_importable() -> bool:
         zpath = os.path.join(REFERENCE_DIR, "spikingjelly.zip")
         if not os.path.isfile(zpath):
             return False
-        os.makedirs(sj, exist_ok=True)
+        # the zip stores the package CONTENTS at its root (``__init__.py``,
+        # ``activation_based/`` ...), so extract into a ``spikingjelly/``
+        # subdir to make ``sj`` an importable package root
+        os.makedirs(os.path.join(sj, "spikingjelly"), exist_ok=True)
         with zipfile.ZipFile(zpath) as z:
-            z.extractall(sj)
+            z.extractall(os.path.join(sj, "spikingjelly"))
     for path in (sj, REFERENCE_DIR):
         if path not in sys.path:
             sys.path.insert(0, path)
