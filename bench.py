@@ -77,10 +77,13 @@ if os.environ.get("BENCH_DTYPE") == "int8":
     _PEAK_FLOPS = 394e12  # v5e int8 MXU peak — MFU stays hardware-honest
 _PEAK_HBM = 819e9  # v5e HBM bytes/sec
 
-# per-chip generation batch. Measured with the fused megakernel sampler:
-# 1024 -> 497 img/s, 2048 -> 530, 4096 -> 543 (diminishing; 2048 balances
-# throughput against compile/latency).
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+# per-chip generation batch. Early (bf16-era, pre-megakernel-tuning) sweep:
+# 1024 -> 497 img/s, 2048 -> 530, 4096 -> 543. Re-swept at the r5 int8
+# headline config (int8+row scales, xyband, il1) the optimum moved up:
+# 2048 -> ~1095-1126, 4096 -> 1196, 6144 -> 1220 (mfu_useful 0.604),
+# 8192 -> HBM OOM (program 19.14G > 15.75G). 6144 is the largest batch
+# that fits v5e HBM and is the default.
+BATCH = int(os.environ.get("BENCH_BATCH", "6144"))
 N_ITERS = 4
 # bf16 activations/spikes; membranes stay fp32 in-kernel (CLAUDE.md rule).
 # BENCH_DTYPE=int8 quantizes the MEGAKERNEL weights to symmetric
